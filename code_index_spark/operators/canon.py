@@ -1,0 +1,82 @@
+"""Canonicalization — connected components over the mention-similarity
+graph via alternating large-star / small-star (J5 in SURVEY.md §2.5).
+
+The reference canonicalizes implicitly by exact deterministic id
+(uuid5 of path:start:end, file_processing_helpers.py:68-71); at
+transcript scale we instead cluster linked surface pairs into entities.
+
+Algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond"): iterate
+  large-star: ∀u, attach every neighbor v > u to m = min(Γ⁺(u));
+  small-star: ∀u, attach every neighbor v ≤ u (and u) to m;
+until the edge set reaches a fixpoint — O(log n) rounds, each round two
+shuffles (groupBy u). Lineage is truncated every round with
+localCheckpoint so 10^12-scale iteration doesn't blow the plan tree
+(SURVEY.md §7.3).
+
+Node ids are xxhash64(surface) — deterministic, so re-runs converge to
+identical components (idempotent-resume discipline X11/X12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large- or small-star round over canonical (u, v) edges."""
+    # neighborhood with self: Γ⁺(u) = Γ(u) ∪ {u}
+    und = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    und = und.union(und.select("u", F.col("u").alias("v"))).distinct()
+    m = und.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = und.join(m, "u")
+    if large:
+        out = nbr.filter(F.col("v") > F.col("u")).select(F.col("v").alias("u"), F.col("m").alias("v"))
+    else:
+        out = nbr.filter(F.col("v") <= F.col("u")).select(F.col("v").alias("u"), F.col("m").alias("v"))
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """pairs(surface_a, surface_b) → (surface, component) long labels.
+
+    component = min xxhash64 id in the component; singletons are not
+    returned (callers union them back, see materialize.assign_entities).
+    """
+    edges = (
+        pairs.select(
+            F.xxhash64("surface_a").alias("u"),
+            F.xxhash64("surface_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        edges = _star_round(edges, large=True)
+        edges = _star_round(edges, large=False)
+        edges = edges.localCheckpoint(eager=True)  # truncate lineage per round
+        sig = edges.select(F.xxhash64("u", "v").alias("x")).agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(x)").alias("h"),
+        ).first()
+        cur_sig = (sig["n"], sig["h"])
+        if cur_sig == prev_sig:
+            break
+        prev_sig = cur_sig
+    # after convergence every edge is (node → component-min root)
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    labels = labels.union(roots).groupBy("node").agg(F.min("component").alias("component"))
+
+    # map node ids back to surfaces
+    surf_ids = (
+        pairs.select(F.col("surface_a").alias("surface"))
+        .union(pairs.select("surface_b"))
+        .distinct()
+        .withColumn("node", F.xxhash64("surface"))
+    )
+    return surf_ids.join(labels, "node", "left").select(
+        "surface",
+        F.coalesce("component", "node").alias("component"),
+    )

@@ -1,0 +1,80 @@
+"""Triple extraction — the engine's core flatMap operator (X4 in
+SURVEY.md §2.3; reference: relationship_extractor.py:18-130 executes
+the 481-rule query schema per language and emits typed blocks whose
+identifier is the exact source span text[start_byte:end_byte]).
+
+Here the "language" key is the turn's `role`, the rule table is
+rules.RULES (data-driven, broadcast), and each match emits
+(subj = "conv_id#turn_idx", pred = category, obj = exact span text)
+plus provenance (span offsets, rule id, confidence).
+
+Execution shape and scale notes:
+- one `mapInPandas` over the transcripts scan; regexes are compiled
+  once per process (module import), not per batch — the analogue of the
+  reference's parser LRU cache (parser_manager.py:88-146) without any
+  cache bookkeeping;
+- no shuffle is introduced: extraction is per-turn, so the stage
+  pipelines with the scan and scales linearly with input splits;
+- the no-drop invariant of the reference's fallback cascade
+  (tree_sitter_coordinator.py:55-118: never error a file) holds — any
+  text, including empty/whitespace/9000-char single lines, yields ≥0
+  triples and never raises.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from ..rules import RULES_BY_ROLE, Rule
+from ..schema import TRIPLES_FLAT_DDL
+
+_COLUMNS = [
+    "conv_id", "turn_idx", "subj", "pred", "obj",
+    "span_start", "span_end", "rule_id", "confidence",
+]
+
+
+def extract_turn(text: str, role: str, rules: list[Rule] | None = None) -> list[tuple]:
+    """All rule matches in one turn's text → list of
+    (pred, obj, span_start, span_end, rule_id, confidence).
+
+    Each rule is executed independently over the full text, exactly like
+    the reference running each tree-sitter query per category
+    (relationship_extractor.py:54-79). Matches are emitted in
+    (rule order, position) order — deterministic.
+    """
+    if not text:
+        return []
+    if rules is None:
+        rules = RULES_BY_ROLE.get(role, [])
+    out: list[tuple] = []
+    for rule in rules:
+        for m in rule.compiled.finditer(text):
+            s, e = m.span(rule.group)
+            out.append((rule.category, text[s:e], s, e, rule.rule_id, rule.confidence))
+    return out
+
+
+def extract_triples(transcripts_df):
+    """transcripts → triples DataFrame (TRIPLES schema, flat)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for conv_id, turn_idx, role, text in zip(
+                pdf["conv_id"].values, pdf["turn_idx"].values,
+                pdf["role"].values, pdf["text"].values,
+            ):
+                rules = RULES_BY_ROLE.get(role)
+                if not rules or not text:
+                    continue
+                subj = f"{conv_id}#{turn_idx}"
+                for pred, obj, s, e, rid, conf in extract_turn(text, role, rules):
+                    rows.append((conv_id, int(turn_idx), subj, pred, obj, s, e, rid, conf))
+            yield pd.DataFrame(rows, columns=_COLUMNS)
+
+    return transcripts_df.select("conv_id", "turn_idx", "role", "text").mapInPandas(
+        run, schema=TRIPLES_FLAT_DDL
+    )

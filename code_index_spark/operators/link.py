@@ -1,0 +1,134 @@
+"""Entity linking — MinHash-LSH blocking + TF-IDF cosine rescoring
+(J1/E4 in SURVEY.md §2.5; the Spark-first re-expression of the
+reference's ANN similarity search, vector_store.py:386-530, where a
+query embedding is matched against the corpus under cosine with a
+score threshold).
+
+Pipeline (all DataFrame ops, zero Python UDFs):
+ 1. distinct mention surfaces + counts — deduplication *is* the skew
+    mitigation: a hot entity appearing in 5% of 10^12 turns collapses
+    to one row before any join (the reference's language-group skew,
+    batch_scheduler.py:39-72, handled structurally);
+ 2. normalize + character-3-gram shingles (pure SQL: sequence +
+    transform + substring — stays in WholeStageCodegen);
+ 3. HashingTF (binary) → MinHashLSH.approxSimilarityJoin as the
+    blocking stage: candidate pairs only, never the O(n²) cross join;
+ 4. exact rescoring via an explode-join TF-IDF cosine: terms exploded
+    with idf weights, pairs scored by sum(wa*wb)/(|a||b|) — a plain
+    shuffle join + aggregation that AQE can re-plan and skew-split.
+
+Returns pairs (surface_a, surface_b, jaccard, cosine) with
+surface_a < surface_b, cosine >= min_cosine.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import HashingTF, MinHashLSH
+from pyspark.sql import DataFrame, functions as F
+
+
+def normalize_surface(col):
+    """lower, strip @, fold -_ to space, squeeze whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "@", "")
+    c = F.regexp_replace(c, "[-_]", " ")
+    c = F.regexp_replace(F.trim(c), " +", " ")
+    return c
+
+
+def char_ngrams(col, n: int = 3):
+    """Distinct character n-grams of a string column, pure SQL."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: padded.substr(i, F.lit(n)))
+    return F.array_distinct(grams)
+
+
+def mention_surfaces(triples: DataFrame) -> DataFrame:
+    """Distinct class-mention surfaces with counts."""
+    return (
+        triples.filter(F.col("pred") == "class")
+        .groupBy(F.col("obj").alias("surface"))
+        .agg(F.count("*").alias("mention_count"))
+        .withColumn("norm", normalize_surface(F.col("surface")))
+        .withColumn("grams", char_ngrams(F.col("norm")))
+        .filter(F.size("grams") > 0)
+    )
+
+
+def candidate_pairs_lsh(
+    surfaces: DataFrame,
+    jaccard_max_dist: float = 0.6,
+    num_hash_tables: int = 5,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """MinHash-LSH blocking self-join over surfaces → candidate pairs
+    with exact LSH-reported Jaccard distance."""
+    tf = HashingTF(inputCol="grams", outputCol="features", binary=True,
+                   numFeatures=num_features)
+    feat = tf.transform(surfaces)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, jaccard_max_dist, distCol="jaccard_dist")
+    return (
+        joined.select(
+            F.col("datasetA.surface").alias("surface_a"),
+            F.col("datasetB.surface").alias("surface_b"),
+            (1.0 - F.col("jaccard_dist")).alias("jaccard"),
+        )
+        .filter(F.col("surface_a") < F.col("surface_b"))
+        .dropDuplicates(["surface_a", "surface_b"])
+    )
+
+
+def tfidf_cosine(pairs: DataFrame, surfaces: DataFrame) -> DataFrame:
+    """Exact TF-IDF cosine over candidate pairs via explode-join.
+
+    terms(surface, gram, w): w = idf(gram) = ln((N+1)/(df+1)) + 1;
+    cosine(a,b) = Σ wa·wb / (‖a‖·‖b‖). Pure SQL — scales as a hash
+    join on gram, with AQE skew splitting for stop-grams.
+    """
+    n_docs = surfaces.count()
+    terms = surfaces.select("surface", F.explode("grams").alias("gram"))
+    df_ = terms.groupBy("gram").agg(F.countDistinct("surface").alias("df"))
+    weighted = (
+        terms.join(F.broadcast(df_), "gram")
+        .withColumn("w", F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1.0)) + 1.0)
+    )
+    norms = weighted.groupBy("surface").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    wa = weighted.select(F.col("surface").alias("surface_a"), "gram",
+                         F.col("w").alias("wa"))
+    wb = weighted.select(F.col("surface").alias("surface_b"), "gram",
+                         F.col("w").alias("wb"))
+    dots = (
+        pairs.join(wa, "surface_a")
+        .join(wb, ["surface_b", "gram"])
+        .groupBy("surface_a", "surface_b", "jaccard")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("surface").alias("surface_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("surface").alias("surface_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "surface_a")
+        .join(nb, "surface_b")
+        .select(
+            "surface_a", "surface_b", "jaccard",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+    )
+
+
+def link_mentions(
+    triples: DataFrame,
+    jaccard_max_dist: float = 0.6,
+    min_cosine: float = 0.5,
+) -> DataFrame:
+    """triples → linked surface pairs (surface_a, surface_b, jaccard, cosine)."""
+    surfaces = mention_surfaces(triples)
+    surfaces = surfaces.persist()
+    pairs = candidate_pairs_lsh(surfaces, jaccard_max_dist)
+    scored = tfidf_cosine(pairs, surfaces)
+    return scored.filter(F.col("cosine") >= min_cosine)

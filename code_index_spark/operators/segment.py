@@ -1,0 +1,151 @@
+"""Turn segmentation — Spark re-expression of the reference's line
+chunking (X1/X2 in SURVEY.md §2.3).
+
+Semantics matched to the reference spec:
+- greedy line packing to max_block_chars=1000 with ×1.15 tolerance,
+  flush on overflow or last line (reference chunking.py:34-95);
+- chunks shorter than min_block_chars=50 after strip are dropped
+  (chunking.py:52);
+- oversized chunks split at line boundaries to ≤1000 chars, monster
+  single lines hard-split every 1000 chars (utils.py:19-69, 51-60);
+- split parts carry 1-based split_index / split_total and a
+  parent_block_id "chunk_<start>_<end>" (chunking.py:59-75);
+- segment_hash = text_hash + start_line (+ "_partN") (chunking.py:62,78).
+
+Execution shape: one `mapInPandas` over the transcripts table — a
+flatMap (1 turn → N segment rows) that stays Arrow-batched end to end.
+No shuffle: segmentation is embarrassingly parallel per turn, so the
+plan is scan → project → mapInPandas with zero exchanges; at 100 TB it
+scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from ..schema import SEGMENTS_FLAT_DDL
+
+MIN_BLOCK_CHARS = 50
+MAX_BLOCK_CHARS = 1000
+TOLERANCE = 1.15
+
+
+def split_to_limit(content: str, max_chars: int = MAX_BLOCK_CHARS) -> list[str]:
+    """Split content into ≤max_chars pieces at line boundaries; lines
+    longer than max_chars are hard-split. Lossless (spec of the
+    reference's utils.split_content)."""
+    if len(content) <= max_chars:
+        return [content]
+    pieces: list[str] = []
+    pending: list[str] = []
+    pending_len = 0
+    for line in content.split("\n"):
+        need = len(line) + 1
+        if pending and pending_len + need > max_chars:
+            pieces.append("\n".join(pending))
+            pending, pending_len = [], 0
+        if need > max_chars:
+            if pending:
+                pieces.append("\n".join(pending))
+                pending, pending_len = [], 0
+            pieces.extend(line[i : i + max_chars] for i in range(0, len(line), max_chars))
+        else:
+            pending.append(line)
+            pending_len += need
+    if pending:
+        pieces.append("\n".join(pending))
+    return pieces
+
+
+def chunk_turn(text: str) -> list[dict[str, Any]]:
+    """Greedy line-packing chunker for one turn's text (pure function)."""
+    if text is None:
+        return []
+    text_hash = hashlib.md5(text.encode("utf-8", errors="ignore")).hexdigest()
+    lines = text.split("\n")
+    out: list[dict[str, Any]] = []
+    buf: list[str] = []
+    buf_len = 0
+    start_line = 1
+    limit = MAX_BLOCK_CHARS * TOLERANCE
+    for i, line in enumerate(lines):
+        buf.append(line)
+        buf_len += len(line) + 1
+        if buf_len >= limit or i == len(lines) - 1:
+            content = "\n".join(buf)
+            end_line = start_line + len(buf) - 1
+            if len(content.strip()) >= MIN_BLOCK_CHARS:
+                if len(content) > MAX_BLOCK_CHARS:
+                    parts = split_to_limit(content)
+                    parent = f"chunk_{start_line}_{end_line}"
+                    for pi, part in enumerate(parts):
+                        out.append(
+                            dict(
+                                seg_type="chunk",
+                                start_line=start_line,
+                                end_line=end_line,
+                                content=part,
+                                split_index=pi + 1,
+                                split_total=len(parts),
+                                parent_block_id=parent,
+                                segment_hash=f"{text_hash}{start_line}_part{pi + 1}",
+                            )
+                        )
+                else:
+                    out.append(
+                        dict(
+                            seg_type="chunk",
+                            start_line=start_line,
+                            end_line=end_line,
+                            content=content,
+                            split_index=None,
+                            split_total=None,
+                            parent_block_id=None,
+                            segment_hash=f"{text_hash}{start_line}",
+                        )
+                    )
+            buf, buf_len = [], 0
+            start_line = i + 2
+    return out
+
+
+def segment(transcripts_df):
+    """transcripts → segments (flatMap via mapInPandas, Arrow-batched)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"].values, pdf["turn_idx"].values, pdf["text"].values
+            ):
+                for seg in chunk_turn(text):
+                    rows.append(
+                        (
+                            conv_id,
+                            int(turn_idx),
+                            seg["seg_type"],
+                            seg["start_line"],
+                            seg["end_line"],
+                            seg["content"],
+                            seg["split_index"],
+                            seg["split_total"],
+                            seg["parent_block_id"],
+                            seg["segment_hash"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "turn_idx", "seg_type", "start_line", "end_line",
+                    "content", "split_index", "split_total", "parent_block_id",
+                    "segment_hash",
+                ],
+            )
+
+    return transcripts_df.select("conv_id", "turn_idx", "text").mapInPandas(
+        run, schema=SEGMENTS_FLAT_DDL
+    )

@@ -1,0 +1,94 @@
+"""Loaders for the driver-generated testdata (/root/testdata/sf*) and
+the derived-transcripts view (FIXTURES.md §5).
+
+The transcript view is defined ONCE as ANSI SQL that runs identically
+in Spark SQL and DuckDB, so every downstream query keeps a DuckDB
+oracle: conv_id = l_orderkey, turn_idx = l_linenumber-1, role cycled by
+line number, text joined from the `documents` table by a deterministic
+key, ts = l_shipdate. The documents join is broadcast by Spark
+(documents ≤ 5000 rows ≪ autoBroadcastJoinThreshold).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# TitleCase of the two-word p_name, portable (DuckDB lacks initcap).
+_TITLE = (
+    "upper(substr(split_part(p.p_name, ' ', 1), 1, 1)) || "
+    "substr(split_part(p.p_name, ' ', 1), 2) || ' ' || "
+    "upper(substr(split_part(p.p_name, ' ', 2), 1, 1)) || "
+    "substr(split_part(p.p_name, ' ', 2), 2)"
+)
+
+# ANSI SQL, valid in both Spark SQL and DuckDB (STRING == VARCHAR alias).
+# The text column is enriched with deterministic rule-matching spans
+# (entity mention, handle, call, backtick ident, URL, path, quoted
+# literal, logic clause, tool kv lines) derived from join keys — so the
+# extraction pipeline has real work at every scale factor and every
+# extraction query stays DuckDB-oracle-expressible.
+TRANSCRIPTS_SQL = """
+SELECT CAST(l.l_orderkey AS STRING) AS conv_id,
+       CAST(l.l_linenumber - 1 AS INT) AS turn_idx,
+       CASE CAST(l.l_linenumber % 4 AS INT)
+            WHEN 1 THEN 'user' WHEN 2 THEN 'assistant'
+            WHEN 3 THEN 'tool' ELSE 'system' END AS role,
+       d.text
+         || ' met with ' || {title}
+         || ' ping @supplier-' || CAST(l.l_suppkey AS STRING)
+         || ' then ran ' || lower(p.p_type) || '_scan()'
+         || ' see `' || lower(l.l_linestatus) || '_merge`'
+         || ' docs at https://docs.example/part-' || CAST(l.l_partkey AS STRING)
+         || ' wrote to /data/' || lower(l.l_returnflag) || '/' || lower(l.l_linestatus)
+         || ' note "' || lower(p.p_brand) || '"'
+         || ' retry because the flag was ' || lower(l.l_returnflag)
+         || CASE WHEN l.l_linenumber % 4 = 3
+                 THEN chr(10) || 'status=' || lower(l.l_linestatus)
+                      || chr(10) || 'qty=' || CAST(CAST(l.l_quantity AS INT) AS STRING)
+                 ELSE '' END
+         AS text,
+       CASE WHEN l.l_linenumber % 4 = 3 THEN
+            CASE CAST(l.l_partkey % 4 AS INT)
+                 WHEN 0 THEN 'search' WHEN 1 THEN 'exec'
+                 WHEN 2 THEN 'read_file' ELSE 'browse' END
+       END AS tool,
+       l.l_shipdate AS ts
+FROM (SELECT *,
+             (l_partkey * 131 + l_linenumber) %
+               (SELECT COUNT(*) FROM documents) AS _doc
+      FROM lineitem) l
+JOIN documents d ON d.doc_id = l._doc
+JOIN part p ON p.p_partkey = l.l_partkey
+""".replace("{title}", _TITLE)
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Read every testdata parquet and register it as a temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def derived_transcripts(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """The transcript-shaped view over lineitem × documents."""
+    load_tables(spark, sf_dir)
+    df = spark.sql(TRANSCRIPTS_SQL)
+    df.createOrReplaceTempView("transcripts")
+    return df
+
+
+def oracle_with_transcripts(body_sql: str) -> str:
+    """Wrap an oracle query so DuckDB sees the same transcripts view."""
+    return f"WITH transcripts AS ({TRANSCRIPTS_SQL})\n{body_sql}"

@@ -1,0 +1,78 @@
+"""Entity linking (MinHashLSH blocking + TF-IDF cosine) and
+canonicalization (large-star/small-star connected components):
+known near-duplicate surfaces must cluster, distinct entities must not."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from code_index_spark.operators.canon import connected_components
+from code_index_spark.operators.extract import extract_triples
+from code_index_spark.operators.link import link_mentions
+from code_index_spark.operators.materialize import (
+    assign_entities,
+    build_edges,
+    build_vertices,
+)
+from code_index_spark.schema import TRANSCRIPTS
+from code_index_spark.synth import ENTITY_CLUSTERS, synthesize
+
+
+@pytest.fixture(scope="module")
+def linked(spark, synth_corpus):
+    transcripts_pdf, _ = synth_corpus
+    tdf = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS)
+    triples = extract_triples(tdf).persist()
+    pairs = link_mentions(triples).persist()
+    comps = connected_components(pairs).persist()
+    emap = assign_entities(triples, comps).persist()
+    return triples, pairs, comps, emap
+
+
+def test_near_duplicates_link(linked):
+    _, _, _, emap = linked
+    surf_to_entity = {r["surface"]: r["entity_id"] for r in emap.collect()}
+    for canon, forms in ENTITY_CLUSTERS.items():
+        present = [f for f in forms if f in surf_to_entity]
+        if len(present) < 2:
+            continue
+        ids = {surf_to_entity[f] for f in present}
+        assert len(ids) == 1, f"{canon}: surfaces {present} split into {ids}"
+
+
+def test_distinct_entities_do_not_merge(linked):
+    _, _, _, emap = linked
+    surf_to_entity = {r["surface"]: r["entity_id"] for r in emap.collect()}
+    reps = []
+    for forms in ENTITY_CLUSTERS.values():
+        present = [f for f in forms if f in surf_to_entity]
+        if present:
+            reps.append(surf_to_entity[present[0]])
+    assert len(set(reps)) == len(reps), "different entities merged"
+
+
+def test_component_determinism(linked, spark):
+    _, pairs, comps, _ = linked
+    again = connected_components(pairs)
+    a = {(r["surface"], r["component"]) for r in comps.collect()}
+    b = {(r["surface"], r["component"]) for r in again.collect()}
+    assert a == b
+
+
+def test_vertices_and_edges_shape(linked):
+    triples, _, _, emap = linked
+    vertices = build_vertices(emap)
+    edges = build_edges(triples, emap)
+    v = vertices.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("entity_id").alias("d"),
+    ).first()
+    assert v["n"] == v["d"], "entity_id must be unique in vertices"
+    e = edges.first()
+    assert set(edges.columns) == {
+        "src_entity", "pred", "dst_entity", "conv_id", "turn_idx", "weight"
+    }
+    assert e is not None
+    # every edge endpoint that is an entity exists in vertices
+    ent_ids = {r["entity_id"] for r in vertices.select("entity_id").collect()}
+    srcs = {r["src_entity"] for r in edges.select("src_entity").distinct().collect()}
+    assert srcs <= ent_ids

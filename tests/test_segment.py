@@ -1,0 +1,57 @@
+"""Segmentation semantics vs the reference spec (chunking.py:25-95,
+utils.py:19-69): greedy 1000-char line packing, ×1.15 tolerance,
+min 50 chars, lossless splitting, 1-based split indices."""
+
+from pyspark.sql import functions as F
+
+from code_index_spark.operators.segment import chunk_turn, segment, split_to_limit
+from code_index_spark.schema import TRANSCRIPTS
+from code_index_spark.synth import synthesize
+
+
+def test_split_lossless_and_bounded():
+    content = "\n".join(f"line {i} " + "y" * (i % 97) for i in range(400))
+    parts = split_to_limit(content, 1000)
+    assert all(len(p) <= 1000 for p in parts)
+    assert "\n".join(parts) == content  # line-boundary splits preserve text
+
+
+def test_hard_split_monster_line():
+    giant = "z" * 9001
+    parts = split_to_limit(giant, 1000)
+    assert len(parts) == 10 and "".join(parts) == giant
+
+
+def test_min_chars_drop():
+    assert chunk_turn("short") == []
+    assert len(chunk_turn("a" * 50)) == 1
+
+
+def test_split_metadata():
+    text = "\n".join("w" * 80 for _ in range(40))  # ~3240 chars
+    segs = chunk_turn(text)
+    split = [s for s in segs if s["split_total"]]
+    assert split, "oversized chunk must split"
+    for s in split:
+        assert s["split_index"] >= 1
+        assert s["parent_block_id"].startswith("chunk_")
+        assert s["segment_hash"].endswith(f"_part{s['split_index']}")
+
+
+def test_segment_dataframe(spark, synth_corpus):
+    transcripts_pdf, _ = synth_corpus
+    tdf = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS)
+    segs = segment(tdf)
+    row = segs.agg(
+        F.count("*").alias("n"),
+        F.max(F.length("content")).alias("maxlen"),
+        F.min(F.length(F.trim(F.col("content")))).alias("minlen"),
+    ).first()
+    assert row["n"] > 0
+    assert row["maxlen"] <= 1000
+    # empty/whitespace turns yield no segments; no segment under min chars
+    # unless it is a split tail part
+    tails = segs.filter(
+        (F.length(F.trim("content")) < 50) & F.col("split_index").isNull()
+    ).count()
+    assert tails == 0
