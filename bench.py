@@ -1,0 +1,99 @@
+"""Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    from pyspark.sql import functions as F
+
+    from code_index_spark.operators.dedupe import minhash_lsh_pairs, simhash, simhash_near_pairs
+    from code_index_spark.operators.extract import extract_triples
+    from code_index_spark.operators.segment import segment
+    from code_index_spark.operators.simsearch import brute_force_topk
+    from code_index_spark.plans.pipeline import build_graph
+    from code_index_spark.session import get_spark
+    from code_index_spark.sources.tpch import derived_transcripts, load_tables
+
+    spark = get_spark("bench", cores=cores, shuffle_partitions=max(cores, 32))
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    tbl = load_tables(spark, sf_dir)
+    # Repartition on conv_id before the Python-heavy stages: the
+    # broadcast-joined view inherits the parquet scan's split count
+    # (often 1 small file at test scale), which would serialize the
+    # Arrow-UDF stages. Hash-distributing on conv_id = the north_rule
+    # partitioning discipline; at 100 TB the scan itself provides
+    # splits and this is a cheap round-robin-equivalent exchange.
+    transcripts = derived_transcripts(spark, sf_dir).repartition(
+        cores * 2, "conv_id"
+    )
+    # materialize the input once so per-query timings measure the
+    # operators, not the (broadcast-joined) view construction
+    transcripts = transcripts.persist()
+    n_turns = timed("load_transcripts", transcripts.count)
+
+    triples = extract_triples(transcripts).persist()
+    n_triples = timed("extract_triples", triples.count)
+    timed("segment", lambda: segment(transcripts).count())
+    timed("build_graph_link_canon", lambda: {
+        k: v.count()
+        for k, v in build_graph(transcripts, triples=triples).items()
+        if k in ("vertices", "edges")
+    })
+    timed("q1_pricing", lambda: tbl["lineitem"]
+          .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(F.sum("l_quantity"), F.avg("l_discount"), F.count("*"))
+          .collect())
+    timed("q3_top_revenue", lambda: tbl["customer"]
+          .filter(F.col("c_mktsegment") == "BUILDING")
+          .join(tbl["orders"], F.col("c_custkey") == F.col("o_custkey"))
+          .join(tbl["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+          .groupBy("o_orderkey")
+          .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+          .orderBy(F.desc("rev")).limit(10).collect())
+    emb = tbl["embeddings"].withColumn("v", F.col("embedding").cast("array<double>"))
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["v"]]
+    timed("ann_topk", lambda: brute_force_topk(emb, "vec_id", "v", qvec, 10).collect())
+    timed("minhash_dedup", lambda: minhash_lsh_pairs(
+        tbl["documents"], "doc_id", "text").count())
+    timed("simhash_dedup", lambda: simhash_near_pairs(
+        simhash(tbl["documents"], "doc_id", "text")).count())
+
+    total = round(sum(timings.values()), 3)
+    extract_rate = round(n_turns / timings["extract_triples"], 1)
+    print(json.dumps({
+        "metric": "kg_pipeline_headline",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("/")[-1],
+        "n_turns": n_turns,
+        "n_triples": n_triples,
+        "turns_per_sec_extract": extract_rate,
+        "cores": cores,
+    }))
+
+
+if __name__ == "__main__":
+    main()

