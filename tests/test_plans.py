@@ -1,0 +1,72 @@
+"""Physical-plan invariants — the scale guarantees, asserted.
+
+These are the properties that make the pipeline survive a 100x
+scale-up; regressing any of them is a perf bug even when results stay
+correct (SURVEY.md §4):
+- filter + column pushdown reach the parquet scan;
+- small dimensions broadcast (no shuffle of the fact side);
+- extraction is shuffle-free (scan → project → mapInPandas);
+- aggregations are partial (map-side combine) before the exchange.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from code_index_spark.operators.extract import extract_triples
+from code_index_spark.sources.tpch import derived_transcripts, load_tables
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_column_pushdown(spark):
+    tbl = load_tables(spark, "/root/testdata/sf0.001")
+    q = (
+        tbl["lineitem"]
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .select("l_returnflag", "l_quantity")
+    )
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_quantity", "l_returnflag", "l_shipdate"}, cols
+
+
+def test_transcript_view_joins_broadcast(spark):
+    t = derived_transcripts(spark, "/root/testdata/sf0.001")
+    plan = _plan(t)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_extraction_is_shuffle_free(spark):
+    t = derived_transcripts(spark, "/root/testdata/sf0.001")
+    plan = _plan(extract_triples(t))
+    # the only exchanges allowed are inside the scalar COUNT(documents)
+    # subquery (SinglePartition over a 500-row dim); no exchange may sit
+    # on the main lineitem → mapInPandas path
+    main = plan.split("Subquery")[0]
+    assert "Exchange" not in main
+    assert "MapInPandas" in main
+
+
+def test_aggregation_partial_before_exchange(spark):
+    tbl = load_tables(spark, "/root/testdata/sf0.001")
+    q = tbl["lineitem"].groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = _plan(q)
+    assert "partial_sum" in plan  # map-side combine present
+
+
+def test_broadcast_entity_map_in_edges(spark):
+    from code_index_spark.operators.materialize import build_edges
+
+    t = derived_transcripts(spark, "/root/testdata/sf0.001")
+    triples = extract_triples(t)
+    emap = spark.createDataFrame(
+        [("Acme Corp", 5, 1)], "surface string, mention_count long, entity_id long"
+    )
+    plan = _plan(build_edges(triples, emap))
+    assert "BroadcastHashJoin" in plan
