@@ -148,6 +148,56 @@ def _q_search_rank(spark, sf_dir):
     return search_triples(triples, t, "merge", k=10)
 
 
+def _q_hot_mentions(spark, sf_dir):
+    """Skew measurement as a first-class query: mention surfaces hotter
+    than 1% of turns (the north_rule's hot-entity detection)."""
+    t = derived_transcripts(spark, sf_dir)
+    threshold = t.count() / 100.0
+    title = F.explode(
+        F.regexp_extract_all("text", F.lit(r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b"), F.lit(0))
+    )
+    return (
+        t.select(title.alias("surface"))
+        .groupBy("surface").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > threshold)
+        .orderBy(F.desc("n"), F.asc("surface"))
+    )
+
+
+def _q_long_turns(spark, sf_dir):
+    t = derived_transcripts(spark, sf_dir)
+    return (
+        t.filter(F.length("text") > 2000)
+        .groupBy("role")
+        .agg(F.count("*").alias("n_long"),
+             F.max(F.length("text")).alias("max_len"))
+        .orderBy("role")
+    )
+
+
+def _q_snippet_preview(spark, sf_dir):
+    """F14 snippet projection: 80-char preview cut at a word boundary."""
+    t = derived_transcripts(spark, sf_dir).filter(F.col("turn_idx") == 0)
+    snip = F.regexp_replace(F.substring("text", 1, 80), r" [^ ]*$", "")
+    return t.select("conv_id", snip.alias("snippet")).orderBy("conv_id")
+
+
+def _q_conv_triple_metrics(spark, sf_dir):
+    """A8 per-conversation lineage metrics: triples + turns per conv."""
+    t = derived_transcripts(spark, sf_dir)
+    triples = extract_triples(t)
+    per_conv_triples = triples.groupBy("conv_id").agg(F.count("*").alias("n_triples"))
+    per_conv_turns = t.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    return (
+        per_conv_turns.join(per_conv_triples, "conv_id", "left")
+        .select(
+            "conv_id", "n_turns",
+            F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
+        )
+        .orderBy("conv_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — relational core over TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -396,6 +446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_transitions": _q_role_transitions,
         "entity_mentions_top": _q_entity_mentions_top,
         "search_rank": _q_search_rank,
+        "hot_mentions": _q_hot_mentions,
+        "long_turns": _q_long_turns,
+        "snippet_preview": _q_snippet_preview,
+        "conv_triple_metrics": _q_conv_triple_metrics,
         "segment_stats": _q_segment_stats,
         "reassembled_segments": _q_reassembled_segments,
         "entity_linking": _q_entity_linking,
@@ -573,6 +627,31 @@ def oracle_sql() -> dict[str, str]:
                 pred_case=_case_sql("t.pred", PRED_WEIGHTS),
                 role_case=_case_sql("tr.role", ROLE_WEIGHTS),
             )
+        ),
+        "hot_mentions": ow(
+            "SELECT surface, count(*) AS n FROM ("
+            "  SELECT unnest(regexp_extract_all(text,"
+            "    '\\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\\b')) AS surface FROM transcripts"
+            ") GROUP BY surface"
+            " HAVING count(*) > (SELECT count(*) FROM transcripts) / 100.0"
+            " ORDER BY n DESC, surface ASC"
+        ),
+        "long_turns": ow(
+            "SELECT role, count(*) AS n_long, max(length(text)) AS max_len "
+            "FROM transcripts WHERE length(text) > 2000 "
+            "GROUP BY role ORDER BY role"
+        ),
+        "snippet_preview": ow(
+            "SELECT conv_id,"
+            " regexp_replace(substr(text, 1, 80), ' [^ ]*$', '') AS snippet "
+            "FROM transcripts WHERE turn_idx = 0 ORDER BY conv_id"
+        ),
+        "conv_triple_metrics": ow(
+            f"SELECT t.conv_id, t.n_turns, COALESCE(x.n_triples, 0) AS n_triples "
+            f"FROM (SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id) t "
+            f"LEFT JOIN (SELECT conv_id, count(*) AS n_triples "
+            f"           FROM ({triples_rows_sql()}) GROUP BY conv_id) x "
+            f"ON x.conv_id = t.conv_id ORDER BY t.conv_id"
         ),
         # relational core
         "q1_pricing": (
