@@ -148,6 +148,16 @@ def _q_search_rank(spark, sf_dir):
     return search_triples(triples, t, "merge", k=10)
 
 
+def _q_entity_search(spark, sf_dir):
+    """Reference §3.2 search path: query string → TF-IDF cosine vs the
+    mention corpus → top-k."""
+    from code_index_spark.operators.link import search_surfaces
+
+    t = derived_transcripts(spark, sf_dir)
+    triples = extract_triples(t)
+    return search_surfaces(triples, "acme corp widget", k=10)
+
+
 def _q_hot_mentions(spark, sf_dir):
     """Skew measurement as a first-class query: mention surfaces hotter
     than 1% of turns (the north_rule's hot-entity detection)."""
@@ -446,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_transitions": _q_role_transitions,
         "entity_mentions_top": _q_entity_mentions_top,
         "search_rank": _q_search_rank,
+        "entity_search": _q_entity_search,
         "hot_mentions": _q_hot_mentions,
         "long_turns": _q_long_turns,
         "snippet_preview": _q_snippet_preview,
@@ -560,6 +571,65 @@ SELECT doc_id, CAST(n_words AS INT) AS n_words,
 FROM base ORDER BY doc_id
 """
 
+def _py_norm(s: str) -> str:
+    import re as _re
+
+    s = s.lower().replace("@", "")
+    s = _re.sub("[-_]", " ", s)
+    return _re.sub(" +", " ", s.strip())
+
+
+def _py_grams(norm: str) -> list[str]:
+    p = f" {norm} "
+    out = []
+    for i in range(max(len(p) - 2, 1)):
+        g = p[i : i + 3]
+        if g not in out:
+            out.append(g)
+    return out
+
+
+def _entity_search_oracle(query: str, k: int = 10) -> str:
+    qgrams = _py_grams(_py_norm(query))
+    values = ", ".join(f"('{g}')" for g in qgrams)
+    return f"""
+, surfaces AS (
+  SELECT surface FROM (
+    SELECT unnest(regexp_extract_all(text,
+      '\\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\\b')) AS surface FROM transcripts
+    UNION ALL
+    SELECT unnest(regexp_extract_all(text,
+      '@[A-Za-z][A-Za-z0-9_-]{{2,}}')) AS surface FROM transcripts
+  ) GROUP BY surface
+),
+grams AS (
+  SELECT surface, unnest(list_distinct(
+    [substr(p, i, 3) for i in range(1, greatest(length(p) - 2, 1) + 1)])) AS gram
+  FROM (SELECT surface,
+               ' ' || regexp_replace(trim(regexp_replace(
+                   replace(lower(surface), '@', ''), '[-_]', ' ', 'g')),
+                   ' +', ' ', 'g') || ' ' AS p
+        FROM surfaces)
+),
+dfreq AS (SELECT gram, count(DISTINCT surface) AS df FROM grams GROUP BY gram),
+nd AS (SELECT count(*) AS n FROM surfaces),
+w AS (SELECT surface, g.gram,
+             ln(((SELECT n FROM nd) + 1.0) / (df + 1.0)) + 1.0 AS w
+      FROM grams g JOIN dfreq USING (gram)),
+norms AS (SELECT surface, sqrt(sum(w * w)) AS nrm FROM w GROUP BY surface),
+qg AS (SELECT * FROM (VALUES {values}) AS t(gram)),
+qw AS (SELECT gram, ln(((SELECT n FROM nd) + 1.0) / (df + 1.0)) + 1.0 AS qw
+       FROM qg JOIN dfreq USING (gram)),
+qn AS (SELECT sqrt(sum(qw * qw)) AS qnrm FROM qw),
+dots AS (SELECT surface, sum(w * qw) AS dot
+         FROM w JOIN qw USING (gram) GROUP BY surface)
+SELECT surface,
+       round(dot / (nrm * (SELECT qnrm FROM qn)), 4) AS score
+FROM dots JOIN norms USING (surface)
+ORDER BY score DESC, surface ASC LIMIT {k}
+"""
+
+
 _SEARCH_ORACLE_TMPL = """
 WITH triples AS ({triples_rows}),
 hits AS (
@@ -628,6 +698,7 @@ def oracle_sql() -> dict[str, str]:
                 role_case=_case_sql("tr.role", ROLE_WEIGHTS),
             )
         ),
+        "entity_search": ow(_entity_search_oracle("acme corp widget", 10)),
         "hot_mentions": ow(
             "SELECT surface, count(*) AS n FROM ("
             "  SELECT unnest(regexp_extract_all(text,"

@@ -121,6 +121,59 @@ def tfidf_cosine(pairs: DataFrame, surfaces: DataFrame) -> DataFrame:
     )
 
 
+def search_surfaces(triples: DataFrame, query: str, k: int = 10) -> DataFrame:
+    """Query-side search (reference §3.2: embed query → ANN → top-k):
+    TF-IDF cosine of the query string against the distinct mention
+    corpus, exact, JVM-side only.
+
+    The corpus side is distinct surfaces (small even at 10^12 turns);
+    at larger mention-vocabulary scale the LSH bucketing of
+    candidate_pairs_lsh becomes the blocking stage — this exact path is
+    both the baseline and the rescorer."""
+    spark = triples.sparkSession
+    surfaces = mention_surfaces(triples)
+    n_docs = surfaces.count()
+    terms = surfaces.select("surface", F.explode("grams").alias("gram"))
+    df_ = terms.groupBy("gram").agg(F.countDistinct("surface").alias("df"))
+    weighted = terms.join(F.broadcast(df_), "gram").withColumn(
+        "w", F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1.0)) + 1.0
+    )
+    norms = weighted.groupBy("surface").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    qdf = (
+        spark.createDataFrame([(query,)], "q string")
+        .withColumn("norm", normalize_surface(F.col("q")))
+        .withColumn("gram", F.explode(char_ngrams(F.col("norm"))))
+        .select("gram")
+    )
+    # query weights: idf from the corpus; query norm computed over the
+    # query grams that exist in the corpus vocabulary (OOV grams can't
+    # contribute to any dot product)
+    qw = qdf.join(F.broadcast(df_), "gram").withColumn(
+        "qw", F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1.0)) + 1.0
+    )
+    qnorm = float(
+        qw.agg(F.sqrt(F.sum(F.col("qw") * F.col("qw")))).first()[0] or 0.0
+    )
+    if qnorm == 0.0:
+        return spark.createDataFrame([], "surface string, score double")
+    dots = (
+        weighted.join(F.broadcast(qw.select("gram", "qw")), "gram")
+        .groupBy("surface")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    return (
+        dots.join(norms, "surface")
+        .select(
+            "surface",
+            F.round(F.col("dot") / (F.col("nrm") * F.lit(qnorm)), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("surface"))
+        .limit(k)
+    )
+
+
 def link_mentions(
     triples: DataFrame,
     jaccard_max_dist: float = 0.6,

@@ -69,6 +69,42 @@ def test_resume_reprocesses_changed_bucket_only(spark, tmp_path):
     assert before_others == after_others
 
 
+def test_killed_run_resumes_to_identical_result(spark, tmp_path):
+    """north_rule: a killed run resumes idempotently. Simulate a crash
+    after 5 of 16 buckets by running the extraction restricted to a
+    subset and checkpointing only those buckets, then resume on the
+    full input and compare against an uninterrupted run."""
+    tdf = _tdf(spark)
+
+    # ground truth: uninterrupted run
+    full_ckpt = CheckpointStore(spark, str(tmp_path / "full_ckpt"))
+    full_path = str(tmp_path / "full_triples")
+    run_with_resume(spark, tdf, full_path, full_ckpt, extract_triples, n_buckets=16)
+    keys = ["conv_id", "turn_idx", "pred", "obj", "span_start", "rule_id"]
+    want = {
+        tuple(r) for r in
+        spark.read.parquet(full_path).select(*keys).toPandas().itertuples(index=False)
+    }
+
+    # "crashed" run: only buckets 0-4 were completed before the kill
+    from code_index_spark.sources.checkpoint import with_partition_id
+
+    crash_ckpt = CheckpointStore(spark, str(tmp_path / "crash_ckpt"))
+    crash_path = str(tmp_path / "crash_triples")
+    survived = with_partition_id(tdf, 16).filter(F.col("partition_id") < 5).drop(
+        "partition_id"
+    )
+    run_with_resume(spark, survived, crash_path, crash_ckpt, extract_triples, 16)
+    # resume over the FULL input: the done buckets must be skipped
+    r = run_with_resume(spark, tdf, crash_path, crash_ckpt, extract_triples, 16)
+    assert 0 < r["processed_buckets"] <= 11
+    got = {
+        tuple(r) for r in
+        spark.read.parquet(crash_path).select(*keys).toPandas().itertuples(index=False)
+    }
+    assert got == want
+
+
 def test_bucket_hash_orderinsensitive(spark):
     tdf = _tdf(spark, 10)
     h1 = {r["partition_id"]: r["content_hash"]
