@@ -104,25 +104,40 @@ def minhash_lsh_pairs(
     """MinHash-LSH candidate near-dup pairs (shingle → minhash → band →
     bucket join). This is the scale path: pair generation is linear in
     bucket sizes, not quadratic in corpus size."""
+    spark = df.sparkSession
     shingled = df.select(
         F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
     ).filter(F.size("grams") > 0)
     tf = HashingTF(inputCol="grams", outputCol="features", binary=True,
                    numFeatures=1 << 20)
-    feat = tf.transform(shingled)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
-                     numHashTables=num_hash_tables, seed=42)
-    model = lsh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, jaccard_max_dist, distCol="dist")
-    return (
-        pairs.select(
-            F.col("datasetA.id").alias("id_a"),
-            F.col("datasetB.id").alias("id_b"),
-            (1.0 - F.col("dist")).alias("est_jaccard"),
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    # checkpoint the featurized side: the LSH self-join copies its input
+    # plan several times (driver re-analysis cost), and the banded join
+    # runs best at shuffle widths sized to the corpus, not the session
+    feat = tf.transform(shingled).localCheckpoint(eager=True)
+    n_docs = feat.count()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(2, min(int(prev), n_docs // 50_000 + 1))),
     )
+    try:
+        lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                         numHashTables=num_hash_tables, seed=42)
+        model = lsh.fit(feat)
+        pairs = model.approxSimilarityJoin(feat, feat, jaccard_max_dist, distCol="dist")
+        out = (
+            pairs.select(
+                F.col("datasetA.id").alias("id_a"),
+                F.col("datasetB.id").alias("id_b"),
+                (1.0 - F.col("dist")).alias("est_jaccard"),
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
 
 
 # --------------------------------------------------------------- simhash

@@ -131,7 +131,7 @@ def search_surfaces(triples: DataFrame, query: str, k: int = 10) -> DataFrame:
     candidate_pairs_lsh becomes the blocking stage — this exact path is
     both the baseline and the rescorer."""
     spark = triples.sparkSession
-    surfaces = mention_surfaces(triples)
+    surfaces = mention_surfaces(triples).localCheckpoint(eager=True)
     n_docs = surfaces.count()
     terms = surfaces.select("surface", F.explode("grams").alias("gram"))
     df_ = terms.groupBy("gram").agg(F.countDistinct("surface").alias("df"))
@@ -179,9 +179,29 @@ def link_mentions(
     jaccard_max_dist: float = 0.6,
     min_cosine: float = 0.5,
 ) -> DataFrame:
-    """triples → linked surface pairs (surface_a, surface_b, jaccard, cosine)."""
-    surfaces = mention_surfaces(triples)
-    surfaces = surfaces.persist()
-    pairs = candidate_pairs_lsh(surfaces, jaccard_max_dist)
-    scored = tfidf_cosine(pairs, surfaces)
-    return scored.filter(F.col("cosine") >= min_cosine)
+    """triples → linked surface pairs (surface_a, surface_b, jaccard, cosine).
+
+    surfaces are localCheckpoint-ed, not just persisted: the LSH
+    self-join and the explode-join cosine each copy the input logical
+    plan several times, and without truncation Catalyst re-analyzes the
+    whole upstream extraction tree per stage (measured 24s of pure
+    driver analysis on a 40-row surface table). The checkpoint
+    materializes a tiny table — distinct mention surfaces — so this is
+    cheap at any corpus size."""
+    surfaces = mention_surfaces(triples).localCheckpoint(eager=True)
+    # adaptive shuffle sizing for the pair stages: the distinct-surface
+    # table is orders of magnitude smaller than the corpus, and running
+    # its self-join at corpus-scale shuffle widths is pure scheduling
+    # overhead (same lever as connected_components)
+    spark = triples.sparkSession
+    n_surf = surfaces.count()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(2, min(int(prev), n_surf // 50_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        pairs = candidate_pairs_lsh(surfaces, jaccard_max_dist)
+        scored = tfidf_cosine(pairs, surfaces)
+        out = scored.filter(F.col("cosine") >= min_cosine).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out

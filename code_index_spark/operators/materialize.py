@@ -59,51 +59,94 @@ def build_vertices(entity_map: DataFrame) -> DataFrame:
 
 def build_edges(triples: DataFrame, entity_map: DataFrame) -> DataFrame:
     """Turn-scoped edges: entity→object (pred = object category) and
-    entity↔entity co_mention."""
-    ent_mentions = (
-        triples.filter(F.col("pred") == "class")
-        .select("conv_id", "turn_idx", F.col("obj").alias("surface"), "confidence")
-        .join(F.broadcast(entity_map.select("surface", "entity_id")), "surface")
-        .select("conv_id", "turn_idx", "entity_id", "confidence")
-        .dropDuplicates(["conv_id", "turn_idx", "entity_id"])
-    )
-    objects = (
-        triples.filter(F.col("pred") != "class")
+    entity↔entity co_mention; weight = product of confidences (max
+    confidence per distinct endpoint within the turn — deterministic).
+
+    Plan shape (the scale story): the naive formulation is two
+    dropDuplicates + two self/equi-joins on (conv_id, turn_idx) — five
+    shuffles of the full triple set. Here the per-turn cross products
+    are generated WITHOUT any join: one dedup-aggregate keyed by
+    (turn, endpoint), one groupBy(turn) collecting compact arrays, then
+    pure map-side array expressions (transform × flatten × explode)
+    expand entity×object and entity-pair edges inside each row. Two
+    shuffles total, both partial-aggregated; per-turn fanout is bounded
+    (mentions-per-turn is a small constant), so no skew at 10^12 turns."""
+    keyed = (
+        triples.join(
+            F.broadcast(entity_map.select(F.col("surface").alias("obj"), "entity_id")),
+            "obj",
+            "left",
+        )
         .select(
             "conv_id",
             "turn_idx",
             "pred",
-            F.xxhash64(F.concat_ws(":", "pred", "obj")).alias("obj_id"),
-            F.col("confidence").alias("obj_conf"),
+            F.when(F.col("pred") == "class", F.col("entity_id"))
+            .otherwise(F.xxhash64(F.concat_ws(":", "pred", "obj")))
+            .alias("node_id"),
+            "confidence",
         )
-        .dropDuplicates(["conv_id", "turn_idx", "pred", "obj_id"])
+        .filter(F.col("node_id").isNotNull())
+        # dedup endpoints within a turn, deterministic confidence
+        .groupBy("conv_id", "turn_idx", "pred", "node_id")
+        .agg(F.max("confidence").alias("conf"))
     )
-    ent_obj = (
-        ent_mentions.join(objects, ["conv_id", "turn_idx"])
-        .select(
-            F.col("entity_id").alias("src_entity"),
-            "pred",
-            F.col("obj_id").alias("dst_entity"),
-            "conv_id",
-            "turn_idx",
-            (F.col("confidence") * F.col("obj_conf")).alias("weight"),
+    per_turn = keyed.groupBy("conv_id", "turn_idx").agg(
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("pred") == "class",
+                       F.struct("node_id", "conf"))
+            )
+        ).alias("ents"),
+        F.collect_list(
+            F.when(F.col("pred") != "class",
+                   F.struct("pred", "node_id", "conf"))
+        ).alias("objs"),
+    )
+    ents = F.filter(F.col("ents"), lambda e: e.isNotNull())
+    objs = F.filter(F.col("objs"), lambda o: o.isNotNull())
+    ent_obj_pairs = F.flatten(
+        F.transform(
+            ents,
+            lambda e: F.transform(
+                objs,
+                lambda o: F.struct(
+                    e["node_id"].alias("src_entity"),
+                    o["pred"].alias("pred"),
+                    o["node_id"].alias("dst_entity"),
+                    (e["conf"] * o["conf"]).alias("weight"),
+                ),
+            ),
         )
     )
-    a = ent_mentions.alias("a")
-    b = ent_mentions.alias("b")
-    co = (
-        a.join(b, ["conv_id", "turn_idx"])
-        .filter(F.col("a.entity_id") < F.col("b.entity_id"))
-        .select(
-            F.col("a.entity_id").alias("src_entity"),
-            F.lit("co_mention").alias("pred"),
-            F.col("b.entity_id").alias("dst_entity"),
-            "conv_id",
-            "turn_idx",
-            (F.col("a.confidence") * F.col("b.confidence")).alias("weight"),
+    # unordered entity pairs (i < j over the sorted ents array)
+    co_pairs = F.flatten(
+        F.transform(
+            ents,
+            lambda e, i: F.transform(
+                F.slice(ents, i + 2, F.greatest(F.size(ents) - i - 1, F.lit(0))),
+                lambda o: F.struct(
+                    e["node_id"].alias("src_entity"),
+                    F.lit("co_mention").alias("pred"),
+                    o["node_id"].alias("dst_entity"),
+                    (e["conf"] * o["conf"]).alias("weight"),
+                ),
+            ),
         )
     )
-    return ent_obj.unionByName(co)
+    edges = per_turn.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(F.concat(ent_obj_pairs, co_pairs)).alias("e"),
+    )
+    return edges.select(
+        F.col("e.src_entity").alias("src_entity"),
+        F.col("e.pred").alias("pred"),
+        F.col("e.dst_entity").alias("dst_entity"),
+        "conv_id",
+        "turn_idx",
+        F.col("e.weight").alias("weight"),
+    )
 
 
 def object_vertices(triples: DataFrame) -> DataFrame:
