@@ -148,6 +148,31 @@ def _q_search_rank(spark, sf_dir):
     return search_triples(triples, t, "merge", k=10)
 
 
+def _q_glob_filtered_convs(spark, sf_dir):
+    """F2 ignore-pattern predicate: fnmatch glob → anchored rlike."""
+    from code_index_spark.functions.textfns import glob_to_rlike
+
+    t = derived_transcripts(spark, sf_dir)
+    rx = glob_to_rlike("*7?2*")  # conv ids containing 7_2
+    return (
+        t.filter(F.col("conv_id").rlike(rx))
+        .groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+        .orderBy("conv_id")
+    )
+
+
+def _q_turn_content_type(spark, sf_dir):
+    """X10 content-type gate (Magika analogue): route turns by type."""
+    from code_index_spark.functions.textfns import content_type
+
+    t = derived_transcripts(spark, sf_dir)
+    return (
+        t.withColumn("ctype", content_type(F.col("text")))
+        .groupBy("role", "ctype").agg(F.count("*").alias("n"))
+        .orderBy("role", "ctype")
+    )
+
+
 def _q_entity_search(spark, sf_dir):
     """Reference §3.2 search path: query string → TF-IDF cosine vs the
     mention corpus → top-k."""
@@ -457,6 +482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_mentions_top": _q_entity_mentions_top,
         "search_rank": _q_search_rank,
         "entity_search": _q_entity_search,
+        "glob_filtered_convs": _q_glob_filtered_convs,
+        "turn_content_type": _q_turn_content_type,
         "hot_mentions": _q_hot_mentions,
         "long_turns": _q_long_turns,
         "snippet_preview": _q_snippet_preview,
@@ -699,6 +726,21 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "entity_search": ow(_entity_search_oracle("acme corp widget", 10)),
+        "glob_filtered_convs": ow(
+            "SELECT conv_id, count(*) AS n_turns FROM transcripts "
+            "WHERE regexp_matches(conv_id, '^.*7.2.*$') "
+            "GROUP BY conv_id ORDER BY conv_id"
+        ),
+        "turn_content_type": ow(
+            "SELECT role,"
+            " CASE WHEN regexp_matches(text, '^\\s*$') THEN 'empty'"
+            "      WHEN regexp_matches(text, '(?m)^[a-z_][a-z0-9_]*=[^\\n]+$') THEN 'kv'"
+            "      WHEN contains(text, '```') THEN 'code'"
+            "      WHEN len(regexp_extract_all(text, 'https?://')) >= 2 THEN 'url_heavy'"
+            "      ELSE 'prose' END AS ctype,"
+            " count(*) AS n "
+            "FROM transcripts GROUP BY role, ctype ORDER BY role, ctype"
+        ),
         "hot_mentions": ow(
             "SELECT surface, count(*) AS n FROM ("
             "  SELECT unnest(regexp_extract_all(text,"
