@@ -148,6 +148,36 @@ def _q_search_rank(spark, sf_dir):
     return search_triples(triples, t, "merge", k=10)
 
 
+def _q_co_mention_pairs(spark, sf_dir):
+    """Graph-query surface: top normalized entity pairs co-occurring in
+    a turn (the co_mention edge distribution, SQL-expressible form)."""
+    from code_index_spark.operators.link import normalize_surface
+
+    t = derived_transcripts(spark, sf_dir)
+    title = F.explode(
+        F.regexp_extract_all("text", F.lit(r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b"), F.lit(0))
+    )
+    handle = F.explode(
+        F.regexp_extract_all("text", F.lit(r"@[A-Za-z][A-Za-z0-9_-]{2,}"), F.lit(0))
+    )
+    mentions = (
+        t.select("conv_id", "turn_idx", title.alias("surface"))
+        .unionAll(t.select("conv_id", "turn_idx", handle.alias("surface")))
+        .select("conv_id", "turn_idx", normalize_surface(F.col("surface")).alias("norm"))
+        .distinct()
+    )
+    a = mentions.alias("a")
+    b = mentions.alias("b")
+    return (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("a.norm") < F.col("b.norm"))
+        .groupBy(F.col("a.norm").alias("ent_a"), F.col("b.norm").alias("ent_b"))
+        .agg(F.count("*").alias("n_turns"))
+        .orderBy(F.desc("n_turns"), F.asc("ent_a"), F.asc("ent_b"))
+        .limit(20)
+    )
+
+
 def _q_glob_filtered_convs(spark, sf_dir):
     """F2 ignore-pattern predicate: fnmatch glob → anchored rlike."""
     from code_index_spark.functions.textfns import glob_to_rlike
@@ -482,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_mentions_top": _q_entity_mentions_top,
         "search_rank": _q_search_rank,
         "entity_search": _q_entity_search,
+        "co_mention_pairs": _q_co_mention_pairs,
         "glob_filtered_convs": _q_glob_filtered_convs,
         "turn_content_type": _q_turn_content_type,
         "hot_mentions": _q_hot_mentions,
@@ -726,6 +757,27 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "entity_search": ow(_entity_search_oracle("acme corp widget", 10)),
+        "co_mention_pairs": ow(
+            ", mentions AS ("
+            "  SELECT DISTINCT conv_id, turn_idx,"
+            "    regexp_replace(trim(regexp_replace("
+            "      replace(lower(surface), '@', ''), '[-_]', ' ', 'g')),"
+            "      ' +', ' ', 'g') AS norm"
+            "  FROM ("
+            "    SELECT conv_id, turn_idx, unnest(regexp_extract_all(text,"
+            "      '\\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\\b')) AS surface FROM transcripts"
+            "    UNION ALL"
+            "    SELECT conv_id, turn_idx, unnest(regexp_extract_all(text,"
+            "      '@[A-Za-z][A-Za-z0-9_-]{2,}')) AS surface FROM transcripts"
+            "  )"
+            ") "
+            "SELECT a.norm AS ent_a, b.norm AS ent_b, count(*) AS n_turns "
+            "FROM mentions a JOIN mentions b"
+            " ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx"
+            " AND a.norm < b.norm "
+            "GROUP BY ent_a, ent_b "
+            "ORDER BY n_turns DESC, ent_a ASC, ent_b ASC LIMIT 20"
+        ),
         "glob_filtered_convs": ow(
             "SELECT conv_id, count(*) AS n_turns FROM transcripts "
             "WHERE regexp_matches(conv_id, '^.*7.2.*$') "

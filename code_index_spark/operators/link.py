@@ -178,6 +178,7 @@ def link_mentions(
     triples: DataFrame,
     jaccard_max_dist: float = 0.6,
     min_cosine: float = 0.5,
+    surfaces: DataFrame | None = None,
 ) -> DataFrame:
     """triples → linked surface pairs (surface_a, surface_b, jaccard, cosine).
 
@@ -188,7 +189,8 @@ def link_mentions(
     driver analysis on a 40-row surface table). The checkpoint
     materializes a tiny table — distinct mention surfaces — so this is
     cheap at any corpus size."""
-    surfaces = mention_surfaces(triples).localCheckpoint(eager=True)
+    if surfaces is None:
+        surfaces = mention_surfaces(triples).localCheckpoint(eager=True)
     # adaptive shuffle sizing for the pair stages: the distinct-surface
     # table is orders of magnitude smaller than the corpus, and running
     # its self-join at corpus-scale shuffle widths is pure scheduling

@@ -25,14 +25,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def assign_entities(triples: DataFrame, components: DataFrame) -> DataFrame:
+def assign_entities(
+    triples: DataFrame, components: DataFrame, surfaces: DataFrame | None = None
+) -> DataFrame:
     """Every class-mention surface → entity_id (component root for linked
-    surfaces, own xxhash64 for singletons)."""
-    surfaces = (
-        triples.filter(F.col("pred") == "class")
-        .groupBy(F.col("obj").alias("surface"))
-        .agg(F.count("*").alias("mention_count"))
-    )
+    surfaces, own xxhash64 for singletons). Pass the (checkpointed)
+    surfaces table from the linking stage to avoid re-aggregating the
+    full triple set."""
+    if surfaces is None:
+        surfaces = (
+            triples.filter(F.col("pred") == "class")
+            .groupBy(F.col("obj").alias("surface"))
+            .agg(F.count("*").alias("mention_count"))
+        )
+    surfaces = surfaces.select("surface", "mention_count")
     return surfaces.join(components, "surface", "left").select(
         "surface",
         "mention_count",

@@ -29,13 +29,15 @@ def build_graph(
     avoid re-running extraction when composing with other jobs."""
     if triples is None:
         triples = extract_triples(transcripts).persist()
-    # persist the expensive LSH+cosine pair set and the component labels:
-    # both are consumed by several downstream branches (labels, entity
-    # map, vertices, edges) and would otherwise recompute the whole
-    # blocking join per branch
-    pairs = link_mentions(triples, min_cosine=min_cosine).persist()
+    # the distinct-surface table is computed ONCE (checkpointed — it
+    # feeds the LSH self-join, whose plan duplication would otherwise
+    # re-analyze the extraction tree per stage) and shared by linking
+    # and entity assignment; pair/component tables persist because
+    # several downstream branches consume them
+    surfaces = mention_surfaces(triples).localCheckpoint(eager=True)
+    pairs = link_mentions(triples, min_cosine=min_cosine, surfaces=surfaces).persist()
     components = connected_components(pairs).persist()
-    entity_map = assign_entities(triples, components).persist()
+    entity_map = assign_entities(triples, components, surfaces=surfaces).persist()
     vertices = build_vertices(entity_map).unionByName(object_vertices(triples))
     edges = build_edges(triples, entity_map)
     return {
