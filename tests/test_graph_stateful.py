@@ -4,6 +4,8 @@ first-mention streaming operator."""
 import pytest
 from pyspark.sql import functions as F
 
+from code_index_spark.operators.graphalgo import degree_stats, pagerank
+
 
 def _edges(spark, pairs):
     return spark.createDataFrame(
