@@ -8,32 +8,20 @@ from pyspark.sql import functions as F
 def glob_to_rlike(pattern: str) -> str:
     """Translate an fnmatch-style glob to an anchored regex (the Spark
     re-expression of the reference's ignore-pattern matching,
-    utils.py:98-101 fnmatch semantics). Supports * ? and [...] sets."""
-    out = ["^"]
-    i = 0
-    while i < len(pattern):
-        ch = pattern[i]
-        if ch == "*":
-            out.append(".*")
-        elif ch == "?":
-            out.append(".")
-        elif ch == "[":
-            j = pattern.find("]", i + 1)
-            if j == -1:
-                out.append("\\[")
-            else:
-                body = pattern[i + 1 : j]
-                if body.startswith("!"):
-                    body = "^" + body[1:]
-                out.append(f"[{body}]")
-                i = j
-        elif ch in ".^$+{}()|\\":
-            out.append("\\" + ch)
-        else:
-            out.append(ch)
-        i += 1
-    out.append("$")
-    return "".join(out)
+    utils.py:98-101 fnmatch semantics).
+
+    Delegates to fnmatch.translate for exact semantics — including the
+    set-scanning and invalid-range corner cases — then re-anchors its
+    `(?s:...)\\Z` full-match form for partial-match engines (Spark
+    rlike / DuckDB regexp_matches). The resulting syntax is in the
+    Java-regex ∩ RE2 ∩ Python subset: inline (?s:) group, ^/$ anchors,
+    character classes."""
+    import fnmatch
+
+    t = fnmatch.translate(pattern)
+    if t.endswith(r"\Z"):
+        t = t[: -len(r"\Z")]
+    return f"^{t}$"
 
 
 def content_type(col):
