@@ -148,6 +148,15 @@ def _q_search_rank(spark, sf_dir):
     return search_triples(triples, t, "merge", k=10)
 
 
+def _q_conv_profiles(spark, sf_dir):
+    """Groupwise applyInPandas operator: per-conversation cadence/volume
+    profile (ordered in-group numpy work)."""
+    from code_index_spark.operators.convprofile import conversation_profiles
+
+    t = derived_transcripts(spark, sf_dir)
+    return conversation_profiles(t).orderBy("conv_id")
+
+
 def _q_co_mention_pairs(spark, sf_dir):
     """Graph-query surface: top normalized entity pairs co-occurring in
     a turn (the co_mention edge distribution, SQL-expressible form)."""
@@ -512,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_mentions_top": _q_entity_mentions_top,
         "search_rank": _q_search_rank,
         "entity_search": _q_entity_search,
+        "conv_profiles": _q_conv_profiles,
         "co_mention_pairs": _q_co_mention_pairs,
         "glob_filtered_convs": _q_glob_filtered_convs,
         "turn_content_type": _q_turn_content_type,
@@ -757,6 +767,28 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "entity_search": ow(_entity_search_oracle("acme corp widget", 10)),
+        "conv_profiles": ow(
+            ", gaps AS ("
+            "  SELECT conv_id, epoch(ts) - lag(epoch(ts)) OVER ("
+            "    PARTITION BY conv_id ORDER BY turn_idx) AS gap"
+            "  FROM transcripts"
+            "), g AS ("
+            "  SELECT conv_id, quantile_cont(gap, 0.5) AS med, max(gap) AS mx"
+            "  FROM gaps WHERE gap IS NOT NULL GROUP BY conv_id"
+            "), base AS ("
+            "  SELECT conv_id, CAST(count(*) AS INT) AS n_turns,"
+            "    CAST(count(DISTINCT role) AS INT) AS n_roles,"
+            "    CAST(sum(length(text)) AS BIGINT) AS total_chars,"
+            "    round(avg(length(text)), 4) AS mean_text_len"
+            "  FROM transcripts GROUP BY conv_id"
+            ") "
+            "SELECT b.conv_id, b.n_turns, b.n_roles, b.total_chars,"
+            " b.mean_text_len,"
+            " round(COALESCE(g.med, 0.0), 1) AS median_gap_s,"
+            " CAST(COALESCE(g.mx, 0.0) AS DOUBLE) AS max_gap_s "
+            "FROM base b LEFT JOIN g ON g.conv_id = b.conv_id "
+            "ORDER BY b.conv_id"
+        ),
         "co_mention_pairs": ow(
             ", mentions AS ("
             "  SELECT DISTINCT conv_id, turn_idx,"

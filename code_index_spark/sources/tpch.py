@@ -38,7 +38,10 @@ _TITLE = (
 # extraction query stays DuckDB-oracle-expressible.
 TRANSCRIPTS_SQL = """
 SELECT CAST(l.l_orderkey AS STRING) AS conv_id,
-       CAST(l.l_linenumber - 1 AS INT) AS turn_idx,
+       CAST(row_number() OVER (
+            PARTITION BY l.l_orderkey
+            ORDER BY l.l_linenumber, l.l_partkey, l.l_suppkey) - 1 AS INT)
+         AS turn_idx,
        CASE CAST(l.l_linenumber % 4 AS INT)
             WHEN 1 THEN 'user' WHEN 2 THEN 'assistant'
             WHEN 3 THEN 'tool' ELSE 'system' END AS role,
@@ -100,4 +103,7 @@ def oracle_with_transcripts(body_sql: str) -> str:
         body = "," + body[4:]
     else:
         body = "\n" + body
-    return f"WITH transcripts AS ({TRANSCRIPTS_SQL}){body}"
+    # MATERIALIZED: oracle bodies reference the transcripts CTE many
+    # times (e.g. one arm per extraction rule); DuckDB would otherwise
+    # inline the windowed/joined view into every arm and recompute it
+    return f"WITH transcripts AS MATERIALIZED ({TRANSCRIPTS_SQL}){body}"

@@ -42,14 +42,18 @@ def test_transcript_view_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_extraction_is_shuffle_free(spark):
+def test_extraction_adds_no_shuffle(spark):
     t = derived_transcripts(spark, "/root/testdata/sf0.001")
+    view_plan = _plan(t)
     plan = _plan(extract_triples(t))
-    # the only exchanges allowed are inside the scalar COUNT(documents)
-    # subquery (SinglePartition over a 500-row dim); no exchange may sit
-    # on the main lineitem → mapInPandas path
+    # the view itself owns exactly one data exchange (the turn_idx
+    # row_number window, hash-partitioned by conv — the pipeline's
+    # canonical partitioning); extraction must ride that exchange and
+    # add none of its own
     main = plan.split("Subquery")[0]
-    assert "Exchange" not in main
+    view_main = view_plan.split("Subquery")[0]
+    assert main.count("Exchange") == view_main.count("Exchange") == 1
+    assert "hashpartitioning(l_orderkey" in main
     assert "MapInPandas" in main
 
 

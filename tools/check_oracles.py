@@ -7,10 +7,14 @@ Usage: python tools/check_oracles.py [sf_dir] [only_query ...]
 
 from __future__ import annotations
 
+import functools
 import sys
+import time
 
 import duckdb
 import pandas as pd
+
+print = functools.partial(print, flush=True)
 
 sys.path.insert(0, ".")
 import __spark_entry__ as entrymod  # noqa: E402
@@ -46,8 +50,10 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             got = fn(spark, sf_dir).toPandas()
+            print(f"  [{name} spark {time.perf_counter() - t0:.1f}s]")
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
