@@ -148,6 +148,33 @@ def _q_search_rank(spark, sf_dir):
     return search_triples(triples, t, "merge", k=10)
 
 
+def _q_media_features(spark, sf_dir):
+    """Multimodal plumbing: deterministic synthetic media → image
+    features (decode stubbed; rows-only check — binary payloads have no
+    SQL oracle)."""
+    from code_index_spark.operators.multimodal import image_features, synth_media
+
+    media = synth_media(spark, 96)
+    return image_features(media, fake=True).select(
+        "media_id", "n_bytes", "sha256", "mean_intensity"
+    ).orderBy("media_id")
+
+
+def _q_first_mentions_batch(spark, sf_dir):
+    """Batch equivalent of the stateful first-mention stream: earliest
+    turn of each entity surface per conversation."""
+    t = derived_transcripts(spark, sf_dir)
+    title = F.explode(
+        F.regexp_extract_all("text", F.lit(r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b"), F.lit(0))
+    )
+    return (
+        t.select("conv_id", "turn_idx", title.alias("surface"))
+        .groupBy("conv_id", "surface")
+        .agg(F.min("turn_idx").alias("first_turn"))
+        .orderBy("conv_id", "surface")
+    )
+
+
 def _q_conv_profiles(spark, sf_dir):
     """Groupwise applyInPandas operator: per-conversation cadence/volume
     profile (ordered in-group numpy work)."""
@@ -521,6 +548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_mentions_top": _q_entity_mentions_top,
         "search_rank": _q_search_rank,
         "entity_search": _q_entity_search,
+        "media_features": _q_media_features,
+        "first_mentions_batch": _q_first_mentions_batch,
         "conv_profiles": _q_conv_profiles,
         "co_mention_pairs": _q_co_mention_pairs,
         "glob_filtered_convs": _q_glob_filtered_convs,
@@ -767,6 +796,12 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "entity_search": ow(_entity_search_oracle("acme corp widget", 10)),
+        "first_mentions_batch": ow(
+            "SELECT conv_id, surface, min(turn_idx) AS first_turn FROM ("
+            "  SELECT conv_id, turn_idx, unnest(regexp_extract_all(text,"
+            "    '\\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\\b')) AS surface FROM transcripts"
+            ") GROUP BY conv_id, surface ORDER BY conv_id, surface"
+        ),
         "conv_profiles": ow(
             ", gaps AS ("
             "  SELECT conv_id, epoch(ts) - lag(epoch(ts)) OVER ("

@@ -87,6 +87,26 @@ RULES: list[Rule] = [
     Rule("logic.cond", ALL, "logic",
          r"\b(?:if|when|unless|because) [a-z][a-z0-9 _-]{3,60}", 0, 0, 0.8,
          "conditional clause, analogue of (if_statement) @logic"),
+    # class — ticket/issue identifiers (entity-like, e.g. KGP-1234).
+    Rule("class.ticket", ALL, "class", r"\b[A-Z]{2,6}-[0-9]{2,6}\b", 0, 2, 0.9,
+         "ticket id entity"),
+    # function — python-style definition in quoted code.
+    Rule("function.def", ALL, "function",
+         r"\bdef ([a-z_][a-z0-9_]*)\(", 1, 1, 0.95,
+         "function definition, direct analogue of (function_definition name)"),
+    # import — module import statements quoted in conversation.
+    Rule("import.module", ALL, "import",
+         r"\bimport [a-z_][a-z0-9_.]*", 0, 2, 0.95,
+         "module import, direct analogue of (import_statement)"),
+    # call — explicit tool markers in assistant turns only (role-keyed
+    # rule, like language-specific queries in the reference schema).
+    Rule("call.tool_marker", ("assistant",), "call",
+         r"\btool:[a-z_]{3,}", 0, 1, 0.95,
+         "inline tool-invocation marker"),
+    # data — measurements with units.
+    Rule("data.measure", ALL, "data",
+         r"\b[0-9]+(?:\.[0-9]+)? ?(?:ms|gb|rows)\b", 0, 2, 0.85,
+         "quantity-with-unit literal"),
 ]
 
 

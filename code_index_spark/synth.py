@@ -67,7 +67,12 @@ _LOGIC = [
     "unless skew gets worse",
     "because partitions were tiny",
 ]
-_KV_KEYS = ["status", "rows_read", "bytes_out", "elapsed_ms", "exit_code"]
+_KV_KEYS = ["status", "countin", "bytesout", "elapsed", "exitcode"]
+_TICKETS = ["KGP-101", "OPS-4422", "DATA-77", "LINK-9000"]
+_DEFS = ["rebuild_index", "score_pairs", "emit_edges"]
+_MODULES = ["import numpy.linalg", "import pyspark.sql", "import duckdb"]
+_TOOLMARKS = ["tool:search", "tool:read_file", "tool:browse"]
+_MEASURES = ["125 ms", "3.5 gb", "4400 rows", "17ms"]
 
 
 @dataclass
@@ -113,7 +118,27 @@ class _TurnBuilder:
 
 def _plant_random(b: _TurnBuilder, rng: random.Random, role: str) -> None:
     """Plant one random rule-matching span appropriate for `role`."""
-    kind = rng.randrange(8)
+    kind = rng.randrange(13)
+    if kind == 11 and role != "assistant":
+        kind = 8  # tool markers only match in assistant turns (role-keyed rule)
+    if kind >= 8:
+        if kind == 8:  # class.ticket
+            b.plant("class", rng.choice(_TICKETS), "class.ticket", 0.9,
+                    prefix="filed ")
+        elif kind == 9:  # function.def (group 1 = name)
+            name = rng.choice(_DEFS)
+            b.plant("function", f"def {name}(x): ok", "function.def", 0.95,
+                    prefix="snippet ", span_obj=name, span_off=4)
+        elif kind == 10:  # import.module (match must stop before suffix dot)
+            b.plant("import", rng.choice(_MODULES), "import.module", 0.95,
+                    prefix="then ", suffix=" ok. ")
+        elif kind == 11:  # call.tool_marker (assistant only)
+            b.plant("call", rng.choice(_TOOLMARKS), "call.tool_marker", 0.95,
+                    prefix="via ")
+        else:  # data.measure
+            b.plant("data", rng.choice(_MEASURES), "data.measure", 0.85,
+                    prefix="took ")
+        return
     if kind == 0:  # class.titlecase entity
         surf = rng.choice(rng.choice(list(ENTITY_CLUSTERS.values())))
         if surf.startswith("@"):
