@@ -148,6 +148,26 @@ def _q_search_rank(spark, sf_dir):
     return search_triples(triples, t, "merge", k=10)
 
 
+def _q_multi_corpus_union(spark, sf_dir):
+    """S5 workspace-list source: union of two transcript corpora
+    (sf-derived + synthetic) with per-source lineage — rows-only (the
+    synthetic side has no DuckDB view)."""
+    from code_index_spark.schema import TRANSCRIPTS
+    from code_index_spark.synth import synthesize
+
+    a = derived_transcripts(spark, sf_dir).withColumn("source", F.lit("tpch"))
+    pdf, _ = synthesize(20, seed=42)
+    b = spark.createDataFrame(pdf, schema=TRANSCRIPTS).withColumn(
+        "source", F.lit("synth")
+    )
+    return (
+        a.unionByName(b)
+        .groupBy("source", "role")
+        .agg(F.count("*").alias("n_turns"))
+        .orderBy("source", "role")
+    )
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing: deterministic synthetic media → image
     features (decode stubbed; rows-only check — binary payloads have no
@@ -548,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_mentions_top": _q_entity_mentions_top,
         "search_rank": _q_search_rank,
         "entity_search": _q_entity_search,
+        "multi_corpus_union": _q_multi_corpus_union,
         "media_features": _q_media_features,
         "first_mentions_batch": _q_first_mentions_batch,
         "conv_profiles": _q_conv_profiles,

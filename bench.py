@@ -38,18 +38,12 @@ def main() -> None:
         return out
 
     tbl = load_tables(spark, sf_dir)
-    # Repartition on conv_id before the Python-heavy stages: the
-    # broadcast-joined view inherits the parquet scan's split count
-    # (often 1 small file at test scale), which would serialize the
-    # Arrow-UDF stages. Hash-distributing on conv_id = the north_rule
-    # partitioning discipline; at 100 TB the scan itself provides
-    # splits and this is a cheap round-robin-equivalent exchange.
-    transcripts = derived_transcripts(spark, sf_dir).repartition(
-        cores * 2, "conv_id"
-    )
-    # materialize the input once so per-query timings measure the
-    # operators, not the (broadcast-joined) view construction
-    transcripts = transcripts.persist()
+    # The derived view's turn_idx row_number window already hash-
+    # partitions by conv_id at the session shuffle width (the
+    # north_rule partitioning discipline) — no extra repartition needed
+    # before the Arrow-UDF stages. Materialize once so per-query
+    # timings measure the operators, not the view construction.
+    transcripts = derived_transcripts(spark, sf_dir).persist()
     n_turns = timed("load_transcripts", transcripts.count)
 
     triples = extract_triples(transcripts).persist()
