@@ -51,6 +51,8 @@ def extract_turn(text: str, role: str, rules: list[Rule] | None = None) -> list[
         rules = RULES_BY_ROLE.get(role, [])
     out: list[tuple] = []
     for rule in rules:
+        if not rule.may_match(text):
+            continue
         for m in rule.compiled.finditer(text):
             s, e = m.span(rule.group)
             out.append((rule.category, text[s:e], s, e, rule.rule_id, rule.confidence))
@@ -84,6 +86,9 @@ def extract_triples(transcripts_df):
                     turn_idx = int(idxs[j])
                     subj = None
                     for rule in rules:
+                        anchors = rule.anchors
+                        if anchors is not None and not any(a in text for a in anchors):
+                            continue  # necessary-substring prefilter
                         g = rule.group
                         rid = rule.rule_id
                         cat = rule.category
