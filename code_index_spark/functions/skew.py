@@ -60,7 +60,14 @@ def salted_join(
     times, `big` rows scatter deterministically across replicas.
 
     Result columns = big's columns + small's non-key columns (exactly
-    like big.join(small, key, how))."""
+    like big.join(small, key, how)). Only inner/left semantics survive
+    salting — for right/full joins an unmatched small-side row would
+    surface once per replica, so those modes are rejected."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join preserves only inner/left semantics, got how={how!r}: "
+            "an unmatched small-side row appears `salt` times under right/full"
+        )
     salted_small = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )

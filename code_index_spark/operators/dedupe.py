@@ -7,10 +7,11 @@ Five strategies, each a DataFrame-in/DataFrame-out operator over a
   ngram_jaccard    — exact n-gram Jaccard pairs via explode + hash join
   minhash_lsh      — MinHashLSH banding (the 100 TB path: candidate
                      pairs only, never O(n²))
-  simhash          — 64-bit simhash in a vectorized pandas UDF +
-                     Hamming-band self-join
-  embedding_cosine — near-dup pairs by embedding cosine, blocked by
-                     random-hyperplane sign buckets
+  simhash          — 60-bit simhash, pure Catalyst (md5 token hashes) +
+                     Hamming-band self-join with radius-derived bands
+  embedding_cosine — near-dup pairs by embedding cosine: exact via a
+                     triangle-distributed self-join, or blocked by
+                     hyperplane / coordinate-sign buckets
 
 Scale notes: every strategy dedupes/aggregates *before* any pairwise
 work; the only cross joins are within LSH/band buckets, whose size is
@@ -19,10 +20,7 @@ bounded by construction. AQE skew-join handles hot buckets.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.ml.feature import HashingTF, MinHashLSH
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -140,51 +138,114 @@ def minhash_lsh_pairs(
     return out
 
 
+def minhash_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hash_tables: int = 8,
+) -> DataFrame:
+    """The production near-dup shape: MinHash-LSH *blocking* + exact
+    n-gram Jaccard *rescoring* of candidates only.
+
+    Output is (id_a, id_b, jaccard) with jaccard computed over the raw
+    shingle sets — i.e. exactly what ngram_jaccard_pairs returns, but
+    reached via candidate generation that is linear in bucket sizes
+    instead of an all-shingle explode-join. With num_hash_tables=8 the
+    probability of missing a true pair at jaccard ≥ 0.8 is (1-0.8)^8 ≈
+    2.6e-6, so at test scale the result hash-matches the exact DuckDB
+    oracle — the driver's CORRECTNESS row *is* the recall proof."""
+    cands = minhash_lsh_pairs(
+        df, id_col, text_col, n,
+        jaccard_max_dist=1.0 - threshold,
+        num_hash_tables=num_hash_tables,
+    ).select("id_a", "id_b")
+    grams = df.select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
+    )
+    a = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
+    b = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            inter / (F.size("ga") + F.size("gb") - inter),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # --------------------------------------------------------------- simhash
-_SIMHASH_BITS = 64
+# 60 bits (15 hex chars of md5): stays in BIGINT range in every engine
+# (ANSI Spark, DuckDB, Java) with no sign games, and 60 has many band
+# divisors. The token hash is md5-based so the ENTIRE simhash pipeline
+# — signature and pairs — is expressible in both Spark SQL and DuckDB
+# from one definition (single-source-of-truth, like rules.py/oracle.py).
+SIMHASH_BITS = 60
+_SIMHASH_DIVISORS = (1, 2, 3, 4, 5, 6, 10, 12, 15, 20, 30, 60)
 
 
-def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """Vectorized 64-bit simhash over whitespace tokens (numpy)."""
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        toks = t.split()
-        if not toks:
-            continue
-        # deterministic 64-bit token hashes (FNV-1a, pure python ints)
-        acc = np.zeros(_SIMHASH_BITS, dtype=np.int64)
-        for tok in toks:
-            h = 0xCBF29CE484222325
-            for ch in tok.encode("utf-8"):
-                h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-            acc += bits.astype(np.int64) * 2 - 1
-        sig = np.packbits((acc > 0).astype(np.uint8))
-        out[i] = int.from_bytes(sig.tobytes(), "big", signed=True)
-    return pd.Series(out)
+def simhash_bands(max_hamming: int) -> tuple[int, int]:
+    """(n_bands, band_width) covering the radius: a pair within Hamming
+    ≤ max_hamming differs in ≤ max_hamming bands, so with n_bands ≥
+    max_hamming + 1 at least one band is equal (pigeonhole)."""
+    for nb in _SIMHASH_DIVISORS:
+        if nb >= max_hamming + 1:
+            return nb, SIMHASH_BITS // nb
+    raise ValueError(f"max_hamming {max_hamming} ≥ {SIMHASH_BITS} bits")
+
+
+def _tok_hash60(col):
+    """Deterministic 60-bit token hash = first 15 hex chars of md5.
+    Identical in DuckDB: CAST('0x' || substr(md5(tok),1,15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash) via mapInPandas — Arrow-batched, no per-row Python
-    UDF calls across the boundary."""
+    """(id, simhash) — pure Catalyst (no Python UDF at all).
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"id": pdf[id_col], "simhash": _simhash_batch(pdf[text_col])}
-            )
-
-    return df.select(id_col, text_col).mapInPandas(run, schema="id long, simhash long")
+    tokens = whitespace split; bit j of the signature is set iff
+    Σ_tokens (2·bit_j(h(tok)) − 1) > 0. The per-bit sums are 60 agg
+    columns with map-side partial aggregation, so the shuffle moves one
+    61-column row per (doc × input-partition), not the tokens.
+    Docs with zero tokens produce no signature row."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select("id", _tok_hash60(F.col("tok")).alias("h"))
+    )
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return sums.select("id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by simhash Hamming distance, banded self-join.
+    """ALL pairs within Hamming ≤ max_hamming, banded self-join.
 
-    4 bands of 16 bits: any pair within Hamming ≤ 3 shares at least one
-    exact band (pigeonhole), so the join is equi on (band_idx, band
-    value) — linear candidate generation, then exact popcount filter."""
+    The band count is derived from the radius (simhash_bands), so the
+    pigeonhole recall guarantee holds for any requested max_hamming —
+    candidates are generated by equi-join on (band_idx, band_value),
+    linear in bucket sizes, then exact popcount-filtered."""
+    n_bands, width = simhash_bands(max_hamming)
+    mask = (1 << width) - 1
     bands = sigs.select(
         "id",
         "simhash",
@@ -192,9 +253,9 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    F.shiftright("simhash", i * width).bitwiseAND(F.lit(mask)).alias("val"),
                 )
-                for i in range(4)
+                for i in range(n_bands)
             ])
         ).alias("bv"),
     ).select("id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
@@ -212,26 +273,85 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .dropDuplicates(["id_a", "id_b"])
     )
     return cand.withColumn(
-        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
     ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
 
 
+def simhash_sigs_sql(table: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """DuckDB CTE body computing exactly simhash() — generated from the
+    same constants, so engine and oracle cannot drift."""
+    bit_sums = ", ".join(
+        f"SUM(((h >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return (
+        f"WITH toks AS (\n"
+        f"  SELECT {id_col} AS id, unnest(string_split_regex(trim({text_col}), '\\s+')) AS tok\n"
+        f"  FROM {table}\n"
+        f"), h AS (\n"
+        f"  SELECT id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h\n"
+        f"  FROM toks WHERE tok <> ''\n"
+        f"), bitsums AS (\n"
+        f"  SELECT id, {bit_sums} FROM h GROUP BY id\n"
+        f"), sigs AS (\n"
+        f"  SELECT id, {sig} AS simhash FROM bitsums\n"
+        f")"
+    )
+
+
+def simhash_pairs_sql(max_hamming: int, table: str = "documents") -> str:
+    """DuckDB oracle: exact all-pairs Hamming ≤ max_hamming over the
+    same signatures — the ground truth the banded engine join must
+    reproduce completely (recall = 1 by the pigeonhole band bound)."""
+    return (
+        f"{simhash_sigs_sql(table)}\n"
+        f"SELECT a.id AS id_a, b.id AS id_b,\n"
+        f"       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming\n"
+        f"FROM sigs a JOIN sigs b ON a.id < b.id\n"
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}\n"
+        f"ORDER BY id_a, id_b"
+    )
+
+
 # ------------------------------------------------------ embedding cosine
+def _pair_cosine(a_v, b_v, a_nrm, b_nrm):
+    return F.aggregate(
+        F.zip_with(a_v, b_v, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (a_nrm * b_nrm)
+
+
+def _vec_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm.alias("nrm")
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
-    n_planes: int = 0,
+    n_planes: int = 0, n_blocks: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs by embedding cosine ≥ threshold.
+    """EXACT near-dup pairs by embedding cosine ≥ threshold.
 
-    n_planes=0 → exact all-pairs (test scale). n_planes>0 → block by
-    random-hyperplane sign bits first (the 100 TB path: near-identical
-    vectors share all sign bits with high probability)."""
-    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        norm.alias("nrm"),
-    )
+    n_planes=0 → exact all-pairs via a *triangle-distributed* self join:
+    vectors hash into n_blocks blocks; every unordered block pair (i ≤ j)
+    is one join group, so the O(n²) comparison work spreads over
+    n_blocks·(n_blocks+1)/2 parallel tasks instead of a single
+    constant-key reducer. Exactness is unchanged — every vector pair
+    lands in exactly one (i, j) group. Replication factor is n_blocks+1,
+    the standard trade for distributing an all-pairs join.
+
+    n_planes>0 → block by random-hyperplane sign bits first (approximate:
+    only intra-bucket pairs are compared — the classic SimHash LSH
+    family). For a deterministic, oracle-expressible blocked variant see
+    embedding_cosine_pairs_blocked.
+    """
+    base = _vec_base(df, id_col, vec_col)
     if n_planes > 0:
         dim = len(df.select(vec_col).first()[0])
         rng = np.random.RandomState(42)
@@ -245,21 +365,71 @@ def embedding_cosine_pairs(
             )
             bit = (dot > 0).cast("int")
             sig = bit if sig is None else sig * 2 + bit
-        base = base.withColumn("bucket", sig)
-    else:
-        base = base.withColumn("bucket", F.lit(0))
-    a = base.alias("a")
-    b = base.alias("b")
+        a = base.withColumn("bucket", sig).alias("a")
+        b = base.withColumn("bucket", sig).alias("b")
+        return (
+            a.join(b, "bucket")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .withColumn("cosine", _pair_cosine(
+                F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")))
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+        )
+    # triangle-distributed exact all-pairs
+    blk = F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int")
+    left = base.withColumn("i", blk).withColumn(
+        "j", F.explode(F.sequence(F.col("i"), F.lit(n_blocks - 1)))
+    ).alias("a")
+    right = base.withColumn("j", blk).withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.col("j")))
+    ).alias("b")
+    return (
+        left.join(right, ["i", "j"])
+        .filter((F.col("i") < F.col("j")) | (F.col("a.id") < F.col("b.id")))
+        .withColumn("cosine", _pair_cosine(
+            F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            "cosine",
+        )
+    )
+
+
+def embedding_cosine_pairs_blocked(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.3,
+    sign_coords: int = 6,
+) -> DataFrame:
+    """APPROXIMATE near-dup pairs: coordinate-sign blocking + exact
+    cosine rescore. bucket = packed sign bits of the first `sign_coords`
+    coordinates (2^sign_coords buckets); only intra-bucket pairs are
+    scored. This is the 100 TB candidate-generation path: linear in
+    bucket sizes, never all-pairs — and, unlike random-hyperplane dots,
+    the bucket is computed with zero float arithmetic, so a DuckDB
+    oracle replicates it bit-for-bit (see entry `embedding_dup_pairs_blocked`)."""
+    base = _vec_base(df, id_col, vec_col)
+    bucket = None
+    for i in range(sign_coords):
+        bit = F.when(F.element_at("v", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    a = base.withColumn("bucket", bucket).alias("a")
+    b = base.withColumn("bucket", bucket).alias("b")
     return (
         a.join(b, "bucket")
         .filter(F.col("a.id") < F.col("b.id"))
-        .withColumn(
-            "cosine",
-            F.aggregate(
-                F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-                F.lit(0.0), lambda acc, x: acc + x,
-            ) / (F.col("a.nrm") * F.col("b.nrm")),
-        )
+        .withColumn("cosine", _pair_cosine(
+            F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")))
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+    )
+
+
+def coord_bucket_sql(vec_expr: str, sign_coords: int = 6) -> str:
+    """DuckDB expression for the coordinate-sign bucket — generated from
+    the same constants as embedding_cosine_pairs_blocked, zero float
+    arithmetic, so oracle buckets are bit-identical to the engine's."""
+    return " + ".join(
+        f"(CASE WHEN {vec_expr}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(sign_coords)
     )

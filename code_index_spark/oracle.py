@@ -38,6 +38,34 @@ def triples_count_sql() -> str:
     )
 
 
+def class_surfaces_sql() -> str:
+    """DuckDB: the distinct class-mention surface corpus — generated
+    from every category='class' rule (with role filters), exactly what
+    link.mention_surfaces consumes. Keeps search oracles in lockstep
+    with the rule table (a hand-listed subset broke silently once)."""
+    parts = [
+        f"SELECT unnest({_extract_call(r)}) AS surface "
+        f"FROM transcripts{_role_filter(r)}"
+        for r in RULES
+        if r.category == "class"
+    ]
+    union = "\n    UNION ALL\n    ".join(parts)
+    return f"SELECT surface FROM (\n    {union}\n  ) GROUP BY surface"
+
+
+def class_mentions_sql() -> str:
+    """DuckDB: (conv_id, turn_idx, surface) for every class-rule match —
+    the raw mention stream feeding co-occurrence graphs. Generated from
+    RULES like everything else."""
+    parts = [
+        f"SELECT conv_id, turn_idx, unnest({_extract_call(r)}) AS surface "
+        f"FROM transcripts{_role_filter(r)}"
+        for r in RULES
+        if r.category == "class"
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def triples_rows_sql() -> str:
     """DuckDB: the full (conv_id, turn_idx, pred, obj, rule_id,
     confidence) triple rows via unnest — row-level oracle for the

@@ -53,7 +53,12 @@ def bucket_hashes(transcripts: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> D
             F.xxhash64("conv_id", "turn_idx", "text").alias("h"),
         )
         .groupBy("partition_id")
-        .agg(F.expr("bit_xor(h)").alias("content_hash"), F.count("*").alias("n_turns"))
+        # mix the row count into the hash: a pure XOR cancels an even
+        # number of identical duplicate rows, count-mixing doesn't
+        .agg(
+            F.xxhash64(F.expr("bit_xor(h)"), F.count("*")).alias("content_hash"),
+            F.count("*").alias("n_turns"),
+        )
     )
 
 
@@ -103,6 +108,17 @@ class CheckpointStore:
             done, ["partition_id", "content_hash"], "left_anti"
         ).select("partition_id", "content_hash", "n_turns")
 
+    def delete(self, partition_ids: list[int]) -> None:
+        """Drop checkpoint rows for buckets that no longer exist."""
+        if not partition_ids:
+            return
+        remaining = self.read().filter(~F.col("partition_id").isin(partition_ids))
+        tmp = tempfile.mkdtemp(prefix="ckpt-")
+        remaining.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        shutil.move(tmp, self.path)
+
 
 def run_with_resume(
     spark: SparkSession,
@@ -114,43 +130,88 @@ def run_with_resume(
 ) -> dict:
     """Extract triples for pending buckets only; overwrite just those
     partitions of the triples table; mark buckets done with lineage
-    metrics (triple_count — north_rule's per-partition metric)."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    pending = ckpt.pending_buckets(transcripts, n_buckets)
-    pend_rows = pending.collect()  # bucket count rows, tiny by design
-    if not pend_rows:
-        return {"processed_buckets": 0, "triples_written": 0}
-    pend_ids = [r["partition_id"] for r in pend_rows]
-    hash_by_pid = {r["partition_id"]: r["content_hash"] for r in pend_rows}
+    metrics (triple_count — north_rule's per-partition metric).
 
-    todo = with_partition_id(transcripts, n_buckets).filter(
-        F.col("partition_id").isin(pend_ids)
+    Exactly-once holds in the *shrinking* cases too:
+    - a pending bucket whose new content yields zero triples gets its
+      stale partition directory deleted explicitly (dynamic partition
+      overwrite alone never touches a partition absent from the write);
+    - a bucket that vanished entirely (all conversations removed) is
+      reconciled: its partition directory and checkpoint row are dropped.
+    """
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
     )
-    triples = extract_fn(todo).withColumn(
-        "partition_id", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # one scan: current per-bucket hashes (≤ n_buckets rows)
+        cur_rows = bucket_hashes(transcripts, n_buckets).collect()
+        done = {
+            r["partition_id"]: r["content_hash"]
+            for r in ckpt.read().filter(F.col("status") == "done").collect()
+        }
+        cur_ids = {r["partition_id"] for r in cur_rows}
+        # reconcile vanished buckets: done but no longer in the data
+        gone_ids = sorted(set(done) - cur_ids)
+        for pid in gone_ids:
+            _drop_partition_dir(triples_path, pid)
+        ckpt.delete(gone_ids)
+        pend_rows = [
+            r for r in cur_rows if done.get(r["partition_id"]) != r["content_hash"]
+        ]
+        if not pend_rows:
+            return {"processed_buckets": 0, "triples_written": 0,
+                    "reconciled_buckets": len(gone_ids)}
+        pend_ids = [r["partition_id"] for r in pend_rows]
+        hash_by_pid = {r["partition_id"]: r["content_hash"] for r in pend_rows}
+
+        todo = with_partition_id(transcripts, n_buckets).filter(
+            F.col("partition_id").isin(pend_ids)
+        )
+        triples = extract_fn(todo).withColumn(
+            "partition_id", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+        )
+        # drop every pending bucket's stale partition BEFORE the write: a
+        # dynamic-partition overwrite never touches a partition absent
+        # from the new data, so a bucket that now yields zero triples
+        # would otherwise keep its previous rows forever. Crash-safe:
+        # these buckets are only marked done after the write succeeds, so
+        # a crash in between just reprocesses them on resume.
+        for pid in pend_ids:
+            _drop_partition_dir(triples_path, pid)
+        (
+            triples.write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(triples_path)
+        )
+        counts = {
+            r["partition_id"]: r["cnt"]
+            for r in spark.read.parquet(triples_path)
+            .filter(F.col("partition_id").isin(pend_ids))
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        ckpt_rows = spark.createDataFrame(
+            [
+                (pid, hash_by_pid[pid], counts.get(pid, 0), "done")
+                for pid in pend_ids
+            ],
+            "partition_id int, content_hash long, triple_count long, status string",
+        ).withColumn("updated_at", F.current_timestamp())
+        ckpt.upsert(ckpt_rows)
+        return {
+            "processed_buckets": len(pend_ids),
+            "triples_written": sum(counts.values()),
+            "reconciled_buckets": len(gone_ids),
+        }
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
+def _drop_partition_dir(triples_path: str, pid: int) -> None:
+    """Remove one hive-style partition directory (Iceberg analogue:
+    DELETE FROM triples WHERE partition_id = pid, snapshot-isolated)."""
+    shutil.rmtree(
+        os.path.join(triples_path, f"partition_id={pid}"), ignore_errors=True
     )
-    (
-        triples.write.mode("overwrite")
-        .partitionBy("partition_id")
-        .parquet(triples_path)
-    )
-    counts = {
-        r["partition_id"]: r["cnt"]
-        for r in spark.read.parquet(triples_path)
-        .filter(F.col("partition_id").isin(pend_ids))
-        .groupBy("partition_id")
-        .agg(F.count("*").alias("cnt"))
-        .collect()
-    }
-    ckpt_rows = spark.createDataFrame(
-        [
-            (pid, hash_by_pid[pid], counts.get(pid, 0), "done")
-            for pid in pend_ids
-        ],
-        "partition_id int, content_hash long, triple_count long, status string",
-    ).withColumn("updated_at", F.current_timestamp())
-    ckpt.upsert(ckpt_rows)
-    return {
-        "processed_buckets": len(pend_ids),
-        "triples_written": sum(counts.values()),
-    }

@@ -75,6 +75,27 @@ JOIN part p ON p.p_partkey = l.l_partkey
 """.replace("{title}", _TITLE)
 
 
+# Second corpus for the workspace-list (multi-source) reader: event-log
+# turns. Also pure shared-dialect SQL, so multi-corpus queries keep a
+# full DuckDB oracle (S5 in SURVEY.md §2.1 — the reference's
+# workspace_manager lists N collections and unions them).
+TRANSCRIPTS_EVENTS_SQL = """
+SELECT 'evt-' || CAST(user_id AS STRING) AS conv_id,
+       CAST(row_number() OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT)
+         AS turn_idx,
+       CASE CAST(event_id % 2 AS INT)
+            WHEN 0 THEN 'user' ELSE 'tool' END AS role,
+       'observed ' || event_type || ' event ping @user-'
+         || CAST(user_id AS STRING)
+         || ' ran log_scan() value was "' || CAST(value AS STRING) || '"'
+         AS text,
+       CASE WHEN event_id % 2 = 1 THEN 'log_scan' END AS tool,
+       ts
+FROM events
+"""
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Read every testdata parquet and register it as a temp view."""
     out: dict[str, DataFrame] = {}
@@ -91,6 +112,12 @@ def derived_transcripts(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Da
     df = spark.sql(TRANSCRIPTS_SQL)
     df.createOrReplaceTempView("transcripts")
     return df
+
+
+def event_transcripts(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """The second (event-log) transcript corpus for multi-source reads."""
+    load_tables(spark, sf_dir)
+    return spark.sql(TRANSCRIPTS_EVENTS_SQL)
 
 
 def oracle_with_transcripts(body_sql: str) -> str:

@@ -105,6 +105,76 @@ def test_killed_run_resumes_to_identical_result(spark, tmp_path):
     assert got == want
 
 
+def _bucket_of(spark, tdf, conv_id, n_buckets=16):
+    from code_index_spark.sources.checkpoint import with_partition_id
+
+    return (
+        with_partition_id(tdf, n_buckets)
+        .filter(F.col("conv_id") == conv_id)
+        .select("partition_id")
+        .first()["partition_id"]
+    )
+
+
+def test_zero_triple_bucket_cleans_stale_partition(spark, tmp_path):
+    """A changed bucket whose new content matches no rule must not leave
+    the previous run's triples on disk (dynamic partition overwrite
+    writes nothing for an empty partition — the engine deletes it)."""
+    tdf = _tdf(spark)
+    ckpt = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    triples_path = str(tmp_path / "triples")
+    run_with_resume(spark, tdf, triples_path, ckpt, extract_triples, n_buckets=16)
+    pid = _bucket_of(spark, tdf, "conv-00000005")
+    from code_index_spark.sources.checkpoint import with_partition_id
+
+    bucket_convs = [
+        r["conv_id"]
+        for r in with_partition_id(tdf, 16)
+        .filter(F.col("partition_id") == pid)
+        .select("conv_id").distinct().collect()
+    ]
+    before = spark.read.parquet(triples_path)
+    assert before.filter(F.col("partition_id") == pid).count() > 0
+    # blank the whole bucket to rule-free text → zero triples for it
+    changed = tdf.withColumn(
+        "text",
+        F.when(F.col("conv_id").isin(bucket_convs),
+               F.lit("nothing matches in this text at all"))
+        .otherwise(F.col("text")),
+    )
+    r = run_with_resume(spark, changed, triples_path, ckpt, extract_triples, n_buckets=16)
+    assert r["processed_buckets"] >= 1
+    after = spark.read.parquet(triples_path)
+    assert after.filter(F.col("partition_id") == pid).count() == 0
+    assert not os.path.exists(os.path.join(triples_path, f"partition_id={pid}"))
+    # and the checkpoint recorded the bucket done with zero triples
+    row = ckpt.read().filter(F.col("partition_id") == pid).first()
+    assert row["status"] == "done" and row["triple_count"] == 0
+
+
+def test_vanished_bucket_reconciled(spark, tmp_path):
+    """A bucket whose conversations were all removed from the input must
+    lose both its stale triples partition and its checkpoint row."""
+    tdf = _tdf(spark)
+    ckpt = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    triples_path = str(tmp_path / "triples")
+    run_with_resume(spark, tdf, triples_path, ckpt, extract_triples, n_buckets=16)
+    pid = _bucket_of(spark, tdf, "conv-00000005")
+    from code_index_spark.sources.checkpoint import with_partition_id
+
+    shrunk = (
+        with_partition_id(tdf, 16)
+        .filter(F.col("partition_id") != pid)
+        .drop("partition_id")
+    )
+    r = run_with_resume(spark, shrunk, triples_path, ckpt, extract_triples, n_buckets=16)
+    assert r["reconciled_buckets"] == 1
+    assert not os.path.exists(os.path.join(triples_path, f"partition_id={pid}"))
+    assert ckpt.read().filter(F.col("partition_id") == pid).count() == 0
+    # untouched buckets keep their triples
+    assert spark.read.parquet(triples_path).count() > 0
+
+
 def test_bucket_hash_orderinsensitive(spark):
     tdf = _tdf(spark, 10)
     h1 = {r["partition_id"]: r["content_hash"]

@@ -26,7 +26,8 @@ def test_jobs_end_to_end(spark, tmp_path, capsys):
 
     extract_job.main(argv)  # resume: nothing to do
     second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert second == {"processed_buckets": 0, "triples_written": 0}
+    assert second == {"processed_buckets": 0, "triples_written": 0,
+                      "reconciled_buckets": 0}
 
     build_graph_job.main([
         "--triples", str(tmp_path / "triples"),

@@ -40,6 +40,14 @@ def test_salted_join_equals_plain_join(spark):
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
     # k2 had no match in small: inner semantics preserved
     assert salted_join(big, small, "k").filter(F.col("k") == "k2").count() == 0
+    # left semantics: unmatched big-side keys survive exactly once each
+    left = salted_join(big, small, "k", salt=4, how="left")
+    assert left.count() == big.count()
+    # right/full would duplicate unmatched small rows salt× — rejected
+    import pytest as _pytest
+    for bad in ("right", "full", "outer"):
+        with _pytest.raises(ValueError):
+            salted_join(big, small, "k", how=bad)
 
 
 def test_frequency_cap_accounts_for_cuts(spark):

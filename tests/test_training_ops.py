@@ -65,6 +65,47 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert all(3 not in p for p in pairs)
 
 
+def test_minhash_candidates_contain_all_true_pairs(spark):
+    """Containment gate: LSH candidates must be a superset of every pair
+    with exact shingle-Jaccard ≥ 1 - jaccard_max_dist (recall check the
+    driver's rows-only row can't express)."""
+    import itertools
+    import random
+
+    rnd = random.Random(99)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        toks = [rnd.choice(vocab) for _ in range(25)]
+        rows.append((i, " ".join(toks)))
+        if i % 4 == 0:  # planted near-dup
+            t2 = list(toks)
+            t2[3] = rnd.choice(vocab)
+            rows.append((500 + i, " ".join(t2)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(t, n=3):
+        w = t.split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    sh = {i: shingles(t) for i, t in rows}
+    true_pairs = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sh), 2)
+        if len(sh[a] & sh[b]) / len(sh[a] | sh[b]) >= 0.7
+    }
+    cands = {(r["id_a"], r["id_b"])
+             for r in minhash_lsh_pairs(df, "doc_id", "text", 3, 0.3).collect()}
+    assert true_pairs <= cands
+    # and the verified (blocked + exact rescore) operator returns exactly
+    # the true pair set with exact jaccard values
+    from code_index_spark.operators.dedupe import minhash_verified_pairs
+
+    verified = {(r["id_a"], r["id_b"])
+                for r in minhash_verified_pairs(df, "doc_id", "text", 3, 0.7).collect()}
+    assert verified == true_pairs
+
+
 def test_simhash_properties(spark, docs):
     sigs = {r["id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
     assert sigs[0] == sigs[1]  # identical text → identical signature
@@ -73,6 +114,78 @@ def test_simhash_properties(spark, docs):
              for r in simhash_near_pairs(
                  simhash(docs, "doc_id", "text"), max_hamming=10).collect()}
     assert pairs.get((0, 1)) == 0
+
+
+def test_simhash_banded_recall_equals_bruteforce(spark):
+    """The banded join must return EVERY pair within the radius — the
+    round-1 bug was a band count too small for the requested Hamming
+    distance. Compare against exact all-pairs popcount on the driver."""
+    import itertools
+    import random
+
+    rnd = random.Random(13)
+    vocab = [f"tok{i}" for i in range(50)]
+    texts = []
+    for i in range(120):
+        base = [rnd.choice(vocab) for _ in range(30)]
+        texts.append((i, " ".join(base)))
+        if i % 3 == 0:  # planted near-dup: small edit
+            edited = list(base)
+            edited[rnd.randrange(len(edited))] = rnd.choice(vocab)
+            texts.append((1000 + i, " ".join(edited)))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    sigs = {r["id"]: r["simhash"] for r in simhash(df, "doc_id", "text").collect()}
+    for max_h in (3, 6, 10):
+        want = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(sigs), 2)
+            if bin(sigs[a] ^ sigs[b]).count("1") <= max_h
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_near_pairs(
+                simhash(df, "doc_id", "text"), max_hamming=max_h
+            ).collect()
+        }
+        assert got == want, f"max_hamming={max_h}: banded != brute force"
+
+
+def test_embedding_triangle_allpairs_exact(spark):
+    """The triangle-distributed all-pairs join must return exactly the
+    naive O(n²) pair set — distribution changes the plan, not the math."""
+    import itertools
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(60, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "id long, v array<double>",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           embedding_cosine_pairs(df, "id", "v", threshold=0.3, n_blocks=4).collect()}
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    want = {(a, b) for a, b in itertools.combinations(range(60), 2)
+            if cos(vecs[a], vecs[b]) >= 0.3}
+    assert got == want
+
+
+def test_embedding_coord_blocked_is_subset_with_shared_signs(spark):
+    from code_index_spark.operators.dedupe import embedding_cosine_pairs_blocked
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(80, 8)
+    vecs[50] = vecs[10] * 1.5  # exact-direction dup shares every sign
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "id long, v array<double>",
+    )
+    exact = {(r["id_a"], r["id_b"]) for r in
+             embedding_cosine_pairs(df, "id", "v", threshold=0.3).collect()}
+    blocked = {(r["id_a"], r["id_b"]) for r in
+               embedding_cosine_pairs_blocked(df, "id", "v", 0.3, sign_coords=4).collect()}
+    assert blocked <= exact  # blocking only prunes, never invents
+    assert (10, 50) in blocked  # same-direction dup survives blocking
 
 
 def test_embedding_cosine_pairs_and_blocking(spark):
