@@ -325,6 +325,104 @@ def _q_conv_triple_metrics(spark, sf_dir):
     )
 
 
+def _mention_norms(spark, sf_dir):
+    """Distinct (conv_id, turn_idx, norm) class-mention stream — the
+    SQL-expressible co-occurrence graph input (all class rules, via the
+    extraction engine; the oracle generates the same from RULES)."""
+    from code_index_spark.operators.link import normalize_surface
+
+    t = derived_transcripts(spark, sf_dir)
+    return (
+        extract_triples(t)
+        .filter(F.col("pred") == "class")
+        .select("conv_id", "turn_idx", normalize_surface(F.col("obj")).alias("norm"))
+        .distinct()
+    )
+
+
+def _mention_edges(spark, sf_dir):
+    m = _mention_norms(spark, sf_dir)
+    a = m.alias("a")
+    b = m.alias("b")
+    return (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("a.norm") < F.col("b.norm"))
+        .select(F.col("a.norm").alias("src_entity"), F.col("b.norm").alias("dst_entity"))
+        .distinct()
+    )
+
+
+def _q_comention_degree(spark, sf_dir):
+    """Graph analytics surface: per-vertex degree over the distinct
+    class-mention co-occurrence graph."""
+    from code_index_spark.operators.graphalgo import degree_stats
+
+    edges = _mention_edges(spark, sf_dir)
+    return (
+        degree_stats(edges)
+        .select(F.col("v").alias("vertex"), "degree")
+        .orderBy(F.desc("degree"), F.asc("vertex"))
+    )
+
+
+def _q_pagerank_mentions(spark, sf_dir):
+    """PageRank (5 fixed iterations, damping 0.85) over the co-mention
+    graph — iterative DataFrame joins with per-round lineage truncation;
+    the DuckDB oracle unrolls the same 5 iterations as chained CTEs."""
+    from code_index_spark.operators.graphalgo import pagerank
+
+    edges = _mention_edges(spark, sf_dir)
+    ranks = pagerank(edges, damping=0.85, max_iter=5, tol=0.0)
+    return (
+        ranks.select(F.col("v").alias("vertex"), F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("vertex"))
+    )
+
+
+def _q_lsh_bucketed_topk(spark, sf_dir):
+    """Sub-linear ANN: coordinate-sign bucketing (an LSH family with
+    zero float arithmetic in the bucket key, so the oracle replicates it
+    bit-for-bit) + Hamming≤1 multiprobe + exact cosine rescore."""
+    import numpy as np
+
+    from code_index_spark.operators.simsearch import (
+        hyperplane_signature,
+        lsh_bucketed_topk,
+    )
+
+    tbl = load_tables(spark, sf_dir)
+    emb = tbl["embeddings"].withColumn("v", F.col("embedding").cast("array<double>"))
+    dim = len(emb.select("v").first()["v"])
+    planes = np.eye(dim)[:6]  # identity rows ⇒ bucket bits = coordinate signs
+    indexed = emb.select(F.col("vec_id").alias("id"), "v").withColumn(
+        "bucket", hyperplane_signature("v", planes)
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["v"]]
+    return lsh_bucketed_topk(indexed, planes, qvec, k=10, multiprobe_hamming=1)
+
+
+def _q_catalog_stats(spark, sf_dir):
+    """S10/A5 catalog surface: per-table row and column counts (the
+    reference's collections list/info, collections.py:90-224)."""
+    from code_index_spark.sources.tpch import TABLES
+
+    tbl = load_tables(spark, sf_dir)
+    parts = []
+    for name in TABLES:
+        df = tbl[name]
+        parts.append(
+            df.agg(F.count("*").alias("n_rows")).select(
+                F.lit(name).alias("table_name"),
+                "n_rows",
+                F.lit(len(df.columns)).cast("long").alias("n_cols"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
+
+
 # ---------------------------------------------------------------------------
 # queries — relational core over TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -490,8 +588,12 @@ def _q_simhash_pairs(spark, sf_dir):
 
 
 def _q_ann_topk(spark, sf_dir):
+    from code_index_spark.operators.simsearch import validated_vectors
+
     tbl = load_tables(spark, sf_dir)
     emb = tbl["embeddings"].withColumn("v", F.col("embedding").cast("array<double>"))
+    dim = len(emb.select("v").first()["v"])
+    emb = validated_vectors(emb, "v", dim)  # E5: dims linted in-plan
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["v"]]
     return brute_force_topk(emb, "vec_id", "v", qvec, k=10).select(
         "id", F.round("cosine", 4).alias("cosine")
@@ -585,6 +687,17 @@ def _q_entity_linking(spark, sf_dir):
     )
 
 
+def _q_segment_search_rank(spark, sf_dir):
+    """J4 with score carry: segment-level search hits, split parts
+    reassembled in order keeping max(adjusted_score) (rows-only — the
+    greedy chunker has no SQL form)."""
+    from code_index_spark.operators.rank import reassemble_hits, search_segments
+
+    t = derived_transcripts(spark, sf_dir)
+    hits = search_segments(segment(t), t, "merge")
+    return reassemble_hits(hits, k=10)
+
+
 def _q_graph_vertices(spark, sf_dir):
     from code_index_spark.plans.pipeline import build_graph
 
@@ -623,8 +736,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_triple_metrics": _q_conv_triple_metrics,
         "segment_stats": _q_segment_stats,
         "reassembled_segments": _q_reassembled_segments,
+        "segment_search_rank": _q_segment_search_rank,
         "entity_linking": _q_entity_linking,
         "graph_vertices": _q_graph_vertices,
+        "comention_degree": _q_comention_degree,
+        "pagerank_mentions": _q_pagerank_mentions,
+        "catalog_stats": _q_catalog_stats,
         # relational core
         "q1_pricing": _q_q1_pricing,
         "q3_top_revenue": _q_q3_top_revenue,
@@ -641,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_verified": _q_minhash_dedup_verified,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
+        "lsh_bucketed_topk": _q_lsh_bucketed_topk,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dup_pairs_blocked": _q_embedding_dup_pairs_blocked,
         "lang_id_docs": _q_lang_id_docs,
@@ -788,6 +906,67 @@ ORDER BY score DESC, surface ASC LIMIT {k}
 """
 
 
+_NORM_SQL = (
+    "regexp_replace(trim(regexp_replace("
+    "replace(lower(surface), '@', ''), '[-_]', ' ', 'g')), ' +', ' ', 'g')"
+)
+
+
+def _mention_graph_ctes() -> str:
+    """Shared CTE chain: class mentions (from RULES) → normalized
+    distinct mention stream → distinct co-occurrence edges."""
+    from code_index_spark.oracle import class_mentions_sql
+
+    return (
+        f", cm AS ({class_mentions_sql()})"
+        f", mentions AS (SELECT DISTINCT conv_id, turn_idx, {_NORM_SQL} AS norm FROM cm)"
+        ", edges AS ("
+        "  SELECT DISTINCT a.norm AS ea, b.norm AS eb"
+        "  FROM mentions a JOIN mentions b"
+        "   ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.norm < b.norm"
+        ")"
+    )
+
+
+def _degree_oracle() -> str:
+    return (
+        _mention_graph_ctes()
+        + " SELECT vertex, count(*) AS degree FROM ("
+        "  SELECT ea AS vertex FROM edges UNION ALL SELECT eb FROM edges"
+        ") GROUP BY vertex ORDER BY degree DESC, vertex ASC"
+    )
+
+
+def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
+    """PageRank unrolled as chained CTEs — one CTE per iteration, same
+    recurrence as operators/graphalgo.pagerank."""
+    base = (
+        _mention_graph_ctes()
+        + ", und AS (SELECT ea AS src, eb AS dst FROM edges"
+        "   UNION ALL SELECT eb, ea FROM edges)"
+        ", deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src)"
+        ", vtx AS (SELECT DISTINCT src AS v FROM und)"
+        ", nv AS (SELECT count(*) AS n FROM vtx)"
+        ", r0 AS (SELECT v, 1.0 / (SELECT n FROM nv) AS rank FROM vtx)"
+    )
+    for i in range(1, n_iter + 1):
+        base += (
+            f", r{i} AS ("
+            f" SELECT t.v,"
+            f" ((1.0 - {damping}) / (SELECT n FROM nv))"
+            f" + {damping} * COALESCE(s.inflow, 0.0) AS rank"
+            f" FROM vtx t LEFT JOIN ("
+            f"  SELECT u.dst AS v, sum(r.rank / d.deg) AS inflow"
+            f"  FROM und u JOIN r{i - 1} r ON r.v = u.src"
+            f"  JOIN deg d ON d.src = u.src GROUP BY u.dst"
+            f" ) s ON s.v = t.v)"
+        )
+    return base + (
+        f" SELECT v AS vertex, round(rank, 8) AS rank FROM r{n_iter}"
+        " ORDER BY rank DESC, vertex ASC"
+    )
+
+
 _SEARCH_ORACLE_TMPL = """
 WITH triples AS ({triples_rows}),
 hits AS (
@@ -857,6 +1036,8 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "entity_search": ow(_entity_search_oracle("acme corp widget", 10)),
+        "comention_degree": ow(_degree_oracle()),
+        "pagerank_mentions": ow(_pagerank_oracle(5, 0.85)),
         "multi_corpus_union": ow(
             ", evt AS (" + TRANSCRIPTS_EVENTS_SQL + ") "
             "SELECT source, role, count(*) AS n_turns,"
@@ -1034,6 +1215,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id AS id,"
             " round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 4) AS cosine "
             "FROM embeddings ORDER BY cosine DESC, id ASC LIMIT 10"
+        ),
+        "lsh_bucketed_topk": (
+            "WITH s AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,"
+            f" {coord_bucket_sql('(embedding::DOUBLE[])', 6)} AS bucket"
+            " FROM embeddings),"
+            " q AS (SELECT v AS qv, bucket AS qb FROM s WHERE id = 7) "
+            "SELECT id, round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cosine "
+            "FROM s WHERE bit_count(xor(CAST(bucket AS BIGINT),"
+            " CAST((SELECT qb FROM q) AS BIGINT))) <= 1 "
+            "ORDER BY cosine DESC, id ASC LIMIT 10"
+        ),
+        "catalog_stats": (
+            "SELECT table_name, n_rows, n_cols FROM ("
+            + " UNION ALL ".join(
+                f"SELECT '{t}' AS table_name,"
+                f" (SELECT count(*) FROM {t}) AS n_rows,"
+                f" (SELECT count(*) FROM information_schema.columns"
+                f"  WHERE table_name = '{t}') AS n_cols"
+                for t in (
+                    "region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "documents", "embeddings",
+                )
+            )
+            + ") ORDER BY table_name"
         ),
         "embedding_dup_pairs": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b,"

@@ -59,6 +59,66 @@ def search_triples(
     )
 
 
+def search_segments(
+    segments: DataFrame,
+    transcripts: DataFrame,
+    query_substr: str,
+    k: int = 10,
+) -> DataFrame:
+    """Segment-level search hits with role-boosted scores (the reference
+    searches chunks, search_service.py:89-147; score here = role weight
+    × an exact-phrase prior, deterministic and data-independent)."""
+    hits = segments.filter(F.col("content").contains(query_substr))
+    with_role = hits.join(
+        transcripts.select("conv_id", "turn_idx", "role"), ["conv_id", "turn_idx"]
+    )
+    return with_role.withColumn(
+        "adjusted_score",
+        F.round(
+            _weight_expr(F.col("role"), ROLE_WEIGHTS)
+            * F.when(F.col("seg_type") == "chunk", F.lit(1.0)).otherwise(F.lit(0.9)),
+            6,
+        ),
+    )
+
+
+def reassemble_hits(hits: DataFrame, k: int = 10) -> DataFrame:
+    """J4 with score carry: split-part hits re-join in split_index order
+    and the reassembled row keeps max(adjusted_score) over its parts —
+    the reference's merge rule (search_service.py:120-135). Unsplit hits
+    pass through unchanged; stable top-k at the end."""
+    split = hits.filter(F.col("parent_block_id").isNotNull())
+    merged = (
+        split.groupBy("conv_id", "turn_idx", "parent_block_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("split_index", "content"))
+                    ),
+                    lambda s: s["content"],
+                ),
+            ).alias("content"),
+            F.max("adjusted_score").alias("adjusted_score"),
+            F.count("*").alias("n_parts"),
+        )
+    )
+    whole = hits.filter(F.col("parent_block_id").isNull()).select(
+        "conv_id", "turn_idx",
+        F.col("segment_hash").alias("parent_block_id"),
+        "content", "adjusted_score", F.lit(1).cast("long").alias("n_parts"),
+    )
+    return (
+        merged.unionByName(whole)
+        .orderBy(
+            F.desc("adjusted_score"), F.asc("conv_id"), F.asc("turn_idx"),
+            F.asc("parent_block_id"),
+        )
+        .limit(k)
+    )
+
+
 def reassemble_splits(segments: DataFrame) -> DataFrame:
     """Re-join split segment parts in split_index order (J4).
 

@@ -22,6 +22,7 @@ scales linearly with input splits.
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Iterator
 from typing import Any
 
@@ -32,6 +33,19 @@ from ..schema import SEGMENTS_FLAT_DDL
 MIN_BLOCK_CHARS = 50
 MAX_BLOCK_CHARS = 1000
 TOLERANCE = 1.15
+
+# X9 hybrid structured parser: a run of ≥ MIN_KV_RUN consecutive
+# key=value lines is a typed section (reference hybrid_parsers.py:167-327
+# parses config-like content into section blocks instead of generic
+# chunks). Same line shape as the data.kv extraction rule.
+_KV_LINE = re.compile(r"^[a-z_][a-z0-9_]*=[^\n]+$")
+MIN_KV_RUN = 2
+
+# X8 basic-line fallback: when the greedy chunker drops a turn entirely
+# (all flushed chunks under MIN_BLOCK_CHARS), emit fixed line windows so
+# no non-empty text is left unrepresented (reference
+# block_extractor.py:212-262's 5-line fallback branch).
+FALLBACK_WINDOW_LINES = 5
 
 
 def split_to_limit(content: str, max_chars: int = MAX_BLOCK_CHARS) -> list[str]:
@@ -113,7 +127,84 @@ def chunk_turn(text: str) -> list[dict[str, Any]]:
     return out
 
 
-def segment(transcripts_df):
+def kv_sections(text: str) -> list[dict[str, Any]]:
+    """X9: typed kv_section segments for runs of consecutive key=value
+    lines. Additive to the generic chunks — structured content gets a
+    typed segment AND stays inside its chunk (lossless both ways)."""
+    if not text or "=" not in text:
+        return []
+    lines = text.split("\n")
+    out: list[dict[str, Any]] = []
+    text_hash = None
+    run_start = None
+    for i in range(len(lines) + 1):
+        is_kv = i < len(lines) and _KV_LINE.match(lines[i]) is not None
+        if is_kv and run_start is None:
+            run_start = i
+        elif not is_kv and run_start is not None:
+            if i - run_start >= MIN_KV_RUN:
+                if text_hash is None:
+                    text_hash = hashlib.md5(
+                        text.encode("utf-8", errors="ignore")
+                    ).hexdigest()
+                out.append(
+                    dict(
+                        seg_type="kv_section",
+                        start_line=run_start + 1,
+                        end_line=i,
+                        content="\n".join(lines[run_start:i]),
+                        split_index=None,
+                        split_total=None,
+                        parent_block_id=None,
+                        segment_hash=f"{text_hash}{run_start + 1}_kv",
+                    )
+                )
+            run_start = None
+    return out
+
+
+def line_windows(text: str, window: int = FALLBACK_WINDOW_LINES) -> list[dict[str, Any]]:
+    """X8: fixed line-window fallback segments (content hard-capped at
+    MAX_BLOCK_CHARS so pathological whitespace lines stay bounded)."""
+    if text is None or not text.strip():
+        return []
+    text_hash = hashlib.md5(text.encode("utf-8", errors="ignore")).hexdigest()
+    lines = text.split("\n")
+    out: list[dict[str, Any]] = []
+    for s in range(0, len(lines), window):
+        chunk_lines = lines[s : s + window]
+        content = "\n".join(chunk_lines)[:MAX_BLOCK_CHARS]
+        if not content.strip():
+            continue
+        out.append(
+            dict(
+                seg_type="line_window",
+                start_line=s + 1,
+                end_line=s + len(chunk_lines),
+                content=content,
+                split_index=None,
+                split_total=None,
+                parent_block_id=None,
+                segment_hash=f"{text_hash}{s + 1}_win",
+            )
+        )
+    return out
+
+
+def segment_turn(text: str, hybrid: bool = True) -> list[dict[str, Any]]:
+    """Full cascade for one turn: greedy chunks, plus typed kv sections
+    (X9), plus the line-window fallback when chunking dropped everything
+    (X8) — the reference's parse-else-chunk-else-window no-drop chain."""
+    segs = chunk_turn(text)
+    if hybrid:
+        kvs = kv_sections(text)
+        segs = segs + kvs
+        if not segs:
+            segs = line_windows(text)
+    return segs
+
+
+def segment(transcripts_df, hybrid: bool = True):
     """transcripts → segments (flatMap via mapInPandas, Arrow-batched)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -122,7 +213,7 @@ def segment(transcripts_df):
             for conv_id, turn_idx, text in zip(
                 pdf["conv_id"].values, pdf["turn_idx"].values, pdf["text"].values
             ):
-                for seg in chunk_turn(text):
+                for seg in segment_turn(text, hybrid=hybrid):
                     rows.append(
                         (
                             conv_id,

@@ -29,6 +29,24 @@ def _norm(v):
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def validated_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """E5 engine-side dimension validation (reference
+    dimension_validator.py): any row whose embedding length ≠ dim fails
+    the job with a clear error instead of silently corrupting a dot
+    product. Zero extra scan — the check rides the existing plan
+    (raise_error only evaluates on the mismatch branch)."""
+    v = F.col(vec_col)
+    checked = F.when(F.size(v) == dim, v).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding dimension mismatch: expected {dim}, got "),
+                F.size(v).cast("string"),
+            )
+        )
+    )
+    return df.withColumn(vec_col, checked)
+
+
 def with_cosine(df: DataFrame, vec_col: str, query: list[float]) -> DataFrame:
     q = np.asarray(query, dtype=np.float64)
     qn = float(np.sqrt((q * q).sum()))

@@ -49,9 +49,46 @@ def test_segment_dataframe(spark, synth_corpus):
     ).first()
     assert row["n"] > 0
     assert row["maxlen"] <= 1000
-    # empty/whitespace turns yield no segments; no segment under min chars
-    # unless it is a split tail part
+    # empty/whitespace turns yield no segments; no CHUNK under min chars
+    # unless it is a split tail part (typed kv/window segments may be short)
     tails = segs.filter(
-        (F.length(F.trim("content")) < 50) & F.col("split_index").isNull()
+        (F.col("seg_type") == "chunk")
+        & (F.length(F.trim("content")) < 50)
+        & F.col("split_index").isNull()
     ).count()
     assert tails == 0
+
+
+def test_kv_sections_routed():
+    from code_index_spark.operators.segment import kv_sections, segment_turn
+
+    text = "prose intro line\nstatus=ok\nqty=42\nmode=fast\ntrailing prose"
+    secs = kv_sections(text)
+    assert len(secs) == 1
+    assert secs[0]["seg_type"] == "kv_section"
+    assert secs[0]["content"] == "status=ok\nqty=42\nmode=fast"
+    assert (secs[0]["start_line"], secs[0]["end_line"]) == (2, 4)
+    assert secs[0]["segment_hash"].endswith("_kv")
+    # a single isolated kv line is not a section
+    assert kv_sections("one=1\nprose here") == []
+    # hybrid cascade: chunks + kv sections together
+    big = ("x" * 60 + "\n") + "a=1\nb=2\n" + ("y" * 60)
+    types = {s["seg_type"] for s in segment_turn(big)}
+    assert types == {"chunk", "kv_section"}
+
+
+def test_line_window_fallback_no_drop():
+    from code_index_spark.operators.segment import line_windows, segment_turn
+
+    # short text: chunker drops it (< 50 chars) but the cascade keeps it
+    short = "tiny line one\ntiny two"
+    assert chunk_turn(short) == []
+    segs = segment_turn(short)
+    assert [s["seg_type"] for s in segs] == ["line_window"]
+    assert segs[0]["content"] == short
+    # window boundaries: 12 lines → windows of 5, 5, 2
+    text = "\n".join(f"l{i}" for i in range(12))
+    ws = line_windows(text)
+    assert [(w["start_line"], w["end_line"]) for w in ws] == [(1, 5), (6, 10), (11, 12)]
+    # whitespace-only text still yields nothing anywhere in the cascade
+    assert segment_turn("   \n  ") == []

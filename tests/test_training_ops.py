@@ -222,6 +222,46 @@ def test_brute_force_topk_and_lsh_agree(spark):
     assert approx[0] == 5  # self lands in the query bucket
 
 
+def test_validated_vectors_dimension_lint(spark):
+    from py4j.protocol import Py4JJavaError
+
+    from code_index_spark.operators.simsearch import validated_vectors
+
+    good = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "id long, v array<double>"
+    )
+    assert validated_vectors(good, "v", 2).count() == 2
+    bad = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0])], "id long, v array<double>"
+    )
+    try:
+        validated_vectors(bad, "v", 2).select("v").collect()
+        raise AssertionError("dimension mismatch must fail the job")
+    except (Py4JJavaError, Exception) as e:
+        assert "dimension mismatch" in str(e)
+
+
+def test_reassemble_hits_carries_max_score(spark):
+    from code_index_spark.operators.rank import reassemble_hits
+
+    hits = spark.createDataFrame(
+        [
+            ("c1", 0, "chunk", "AB", 2, 2, "chunk_1_9", "h1_part2", 0.5),
+            ("c1", 0, "chunk", "ZZ", 1, 2, "chunk_1_9", "h1_part1", 0.9),
+            ("c2", 1, "chunk", "solo", None, None, None, "h2", 0.7),
+        ],
+        "conv_id string, turn_idx int, seg_type string, content string,"
+        " split_index int, split_total int, parent_block_id string,"
+        " segment_hash string, adjusted_score double",
+    )
+    out = {r["parent_block_id"]: r for r in reassemble_hits(hits).collect()}
+    merged = out["chunk_1_9"]
+    assert merged["content"] == "ZZAB"  # split_index order, not input order
+    assert merged["adjusted_score"] == 0.9  # max over parts
+    assert merged["n_parts"] == 2
+    assert out["h2"]["n_parts"] == 1 and out["h2"]["adjusted_score"] == 0.7
+
+
 def test_lang_id(spark, docs):
     out = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs, "text").collect()}
     assert out[0] == "en"
