@@ -27,7 +27,7 @@ from code_index_spark.operators.dedupe import (
     simhash_near_pairs,
     simhash_pairs_sql,
 )
-from code_index_spark.operators.extract import extract_triples
+from code_index_spark.operators.extract import extract_triples, extract_triples_sql
 from code_index_spark.operators.rank import (
     PRED_WEIGHTS,
     ROLE_WEIGHTS,
@@ -61,7 +61,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: triples-per-predicate over sf0.001-derived transcripts."""
     t = derived_transcripts(spark, "/root/testdata/sf0.001")
     return (
-        extract_triples(t)
+        extract_triples_sql(t)
         .groupBy("pred")
         .agg(F.count("*").alias("n_triples"),
              F.countDistinct("conv_id").alias("n_convs"))
@@ -77,14 +77,25 @@ def entry(spark: SparkSession) -> DataFrame:
 def _q_triples_by_pred(spark, sf_dir):
     t = derived_transcripts(spark, sf_dir)
     return (
-        extract_triples(t).groupBy("pred")
+        extract_triples_sql(t).groupBy("pred")
         .agg(F.count("*").alias("n_triples")).orderBy("pred")
     )
 
 
 def _q_triples_rows(spark, sf_dir):
+    """Row-level oracle for the Arrow-batched Python extractor (the
+    span-carrying provenance path)."""
     t = derived_transcripts(spark, sf_dir)
     return extract_triples(t).select(
+        "conv_id", "turn_idx", "pred", "obj", "rule_id", "confidence"
+    )
+
+
+def _q_triples_rows_catalyst(spark, sf_dir):
+    """Row-level oracle for the pure-JVM extractor twin — same rule
+    table, same oracle SQL, zero Python workers."""
+    t = derived_transcripts(spark, sf_dir)
+    return extract_triples_sql(t).select(
         "conv_id", "turn_idx", "pred", "obj", "rule_id", "confidence"
     )
 
@@ -148,7 +159,7 @@ def _q_entity_mentions_top(spark, sf_dir):
 
 def _q_search_rank(spark, sf_dir):
     t = derived_transcripts(spark, sf_dir)
-    triples = extract_triples(t)
+    triples = extract_triples_sql(t)
     return search_triples(triples, t, "merge", k=10)
 
 
@@ -267,7 +278,7 @@ def _q_entity_search(spark, sf_dir):
     from code_index_spark.operators.link import search_surfaces
 
     t = derived_transcripts(spark, sf_dir)
-    triples = extract_triples(t)
+    triples = extract_triples_sql(t)
     return search_surfaces(triples, "acme corp widget", k=10)
 
 
@@ -312,7 +323,7 @@ def _q_snippet_preview(spark, sf_dir):
 def _q_conv_triple_metrics(spark, sf_dir):
     """A8 per-conversation lineage metrics: triples + turns per conv."""
     t = derived_transcripts(spark, sf_dir)
-    triples = extract_triples(t)
+    triples = extract_triples_sql(t)
     per_conv_triples = triples.groupBy("conv_id").agg(F.count("*").alias("n_triples"))
     per_conv_turns = t.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
     return (
@@ -333,7 +344,7 @@ def _mention_norms(spark, sf_dir):
 
     t = derived_transcripts(spark, sf_dir)
     return (
-        extract_triples(t)
+        extract_triples_sql(t)
         .filter(F.col("pred") == "class")
         .select("conv_id", "turn_idx", normalize_surface(F.col("obj")).alias("norm"))
         .distinct()
@@ -716,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG pipeline
         "triples_by_pred": _q_triples_by_pred,
         "triples_rows": _q_triples_rows,
+        "triples_rows_catalyst": _q_triples_rows_catalyst,
         "turns_per_role": _q_turns_per_role,
         "tool_usage": _q_tool_usage,
         "conv_length_histogram": _q_conv_length_histogram,
@@ -994,6 +1006,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "triples_by_pred": ow(triples_count_sql()),
         "triples_rows": ow(
+            f"SELECT conv_id, turn_idx, pred, obj, rule_id, confidence "
+            f"FROM ({triples_rows_sql()})"
+        ),
+        "triples_rows_catalyst": ow(
             f"SELECT conv_id, turn_idx, pred, obj, rule_id, confidence "
             f"FROM ({triples_rows_sql()})"
         ),

@@ -37,18 +37,26 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     return out.filter(F.col("u") != F.col("v")).distinct()
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20, driver_max_edges: int = 1_000_000
+) -> DataFrame:
     """pairs(surface_a, surface_b) → (surface, component) long labels.
 
     component = min xxhash64 id in the component; singletons are not
     returned (callers union them back, see materialize.assign_entities).
 
-    Shuffle sizing is adaptive: the iteration shuffles are scaled to the
-    edge count (~200k edges/partition, clamped to the session setting).
-    Label-propagation graphs are usually tiny relative to the corpus —
-    mention-pair counts, not turn counts — and per-round scheduling
-    overhead at full session parallelism dominates otherwise (measured
-    2.7× slowdown at 32 vs 4 partitions on small graphs).
+    Execution is sized to the graph, measured both ways:
+    - ≤ driver_max_edges: collect the (hashed) edge list and run
+      union-find on the driver — the mention-pair graph is VOCAB-scale
+      (edge count ~ distinct-surface pairs, not corpus rows), and a
+      distributed iteration on a small graph is pure scheduling
+      overhead (measured ~10s for a 53-edge graph at 32 cores vs ~0.2s
+      driver-side; 10^6 edges = 16 MB, trivially collectable).
+    - larger: alternating large-star/small-star rounds, lineage
+      truncated per round, shuffles scaled to the edge count
+      (~200k edges/partition, clamped to the session setting).
+    Both paths produce identical labels (asserted against a pure-python
+    union-find on random graphs in tests/test_cc_random.py).
     """
     spark = pairs.sparkSession
     edges = (
@@ -66,6 +74,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_edges = edges.count()
+    if n_edges == 0:
+        return _labels_from_edges(edges, pairs)
+    if n_edges <= driver_max_edges:
+        labels = _driver_union_find(spark, edges)
+        return _labels_from_surfaces(labels, pairs)
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loop_parts = max(2, min(session_parts, n_edges // 200_000 + 1))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -77,12 +90,50 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return _labels_from_edges(edges, pairs)
 
 
+def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
+    """(node, component) via path-compressed union-find on the driver;
+    component = min node id in the component (same labels the star
+    loop converges to)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        ru, rv = find(row["u"]), find(row["v"])
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)  # min-id root ⇒ min label
+    rows = [(n, find(n)) for n in list(parent)]
+    return spark.createDataFrame(rows, "node long, component long")
+
+
+def _labels_from_surfaces(labels: DataFrame, pairs: DataFrame) -> DataFrame:
+    surf_ids = (
+        pairs.select(F.col("surface_a").alias("surface"))
+        .union(pairs.select("surface_b"))
+        .distinct()
+        .withColumn("node", F.xxhash64("surface"))
+    )
+    return surf_ids.join(F.broadcast(labels), "node", "left").select(
+        "surface",
+        F.coalesce("component", "node").alias("component"),
+    )
+
+
 def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
     prev_sig = None
     for _ in range(max_iter):
         edges = _star_round(edges, large=True)
         edges = _star_round(edges, large=False)
-        edges = edges.localCheckpoint(eager=True)  # truncate lineage per round
+        # LAZY checkpoint fused with the convergence signature: the sig
+        # aggregation below is the action that materializes the round
+        # AND truncates its lineage — one job per round, not two
+        edges = edges.localCheckpoint(eager=False)
         sig = edges.select(F.xxhash64("u", "v").alias("x")).agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(x)").alias("h"),

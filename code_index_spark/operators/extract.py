@@ -26,8 +26,9 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark.sql import functions as F
 
-from ..rules import RULES_BY_ROLE, Rule
+from ..rules import ALL, RULES, RULES_BY_ROLE, Rule
 from ..schema import TRIPLES_FLAT_DDL
 
 _COLUMNS = [
@@ -110,4 +111,52 @@ def extract_triples(transcripts_df):
 
     return transcripts_df.select("conv_id", "turn_idx", "role", "text").mapInPandas(
         run, schema=TRIPLES_FLAT_DDL
+    )
+
+
+def extract_triples_sql(transcripts_df):
+    """Pure-Catalyst extraction from the same rule table — the JVM twin
+    of extract_triples for consumers that don't need span offsets.
+
+    Single pass over the scan: every rule's regexp_extract_all runs as a
+    codegen'd expression, per-rule matches are tagged with (pred,
+    rule_id, confidence) via transform(), role-gated arrays are
+    flattened and exploded ONCE. No shuffle, no Python worker, no Arrow
+    transfer — the whole stage is WholeStageCodegen over the scan.
+    Yields the identical (conv_id, turn_idx, subj, pred, obj, rule_id,
+    confidence) multiset as the Python path (asserted by
+    tests/test_extract.py); span_start/span_end are the one column pair
+    only the mapInPandas path carries (Java regex does not expose match
+    offsets through regexp_extract_all)."""
+    def _tagger(rule: Rule):
+        # closure, NOT a 2-arg lambda: transform() treats a second lambda
+        # parameter as the element index
+        return lambda m: F.struct(
+            F.lit(rule.category).alias("pred"),
+            m.alias("obj"),
+            F.lit(rule.rule_id).alias("rule_id"),
+            F.lit(rule.confidence).alias("confidence"),
+        )
+
+    arrs = []
+    for r in RULES:
+        matches = F.regexp_extract_all("text", F.lit(r.pattern), F.lit(r.group))
+        tagged = F.transform(matches, _tagger(r))
+        if set(r.roles) != set(ALL):
+            empty = F.slice(tagged, 1, 0)  # typed empty array
+            tagged = F.when(F.col("role").isin(*r.roles), tagged).otherwise(empty)
+        arrs.append(tagged)
+    m = F.explode(F.flatten(F.array(*arrs)))
+    return (
+        transcripts_df.select("conv_id", "turn_idx", "role", "text")
+        .select("conv_id", "turn_idx", m.alias("m"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.concat_ws("#", "conv_id", "turn_idx").alias("subj"),
+            F.col("m.pred").alias("pred"),
+            F.col("m.obj").alias("obj"),
+            F.col("m.rule_id").alias("rule_id"),
+            F.col("m.confidence").alias("confidence"),
+        )
     )

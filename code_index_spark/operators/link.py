@@ -11,11 +11,14 @@ Pipeline (all DataFrame ops, zero Python UDFs):
     batch_scheduler.py:39-72, handled structurally);
  2. normalize + character-3-gram shingles (pure SQL: sequence +
     transform + substring — stays in WholeStageCodegen);
- 3. HashingTF (binary) → MinHashLSH.approxSimilarityJoin as the
-    blocking stage: candidate pairs only, never the O(n²) cross join;
- 4. exact rescoring via an explode-join TF-IDF cosine: terms exploded
-    with idf weights, pairs scored by sum(wa*wb)/(|a||b|) — a plain
-    shuffle join + aggregation that AQE can re-plan and skew-split.
+ 3. pair scoring — size-adaptive: up to ~10^6 distinct surfaces a
+    FUSED exact gram self-join computes Jaccard AND TF-IDF cosine in
+    one shuffle (linked_pairs_exact; measured faster than LSH there,
+    and exact-recall where LSH's OR-construction drops ~8% of true
+    pairs at jaccard 0.4); beyond that, HashingTF (binary) →
+    MinHashLSH.approxSimilarityJoin blocks candidates first, then the
+    explode-join TF-IDF cosine rescans them. Both paths are plain
+    shuffle joins + aggregations that AQE can re-plan and skew-split.
 
 Returns pairs (surface_a, surface_b, jaccard, cosine) with
 surface_a < surface_b, cosine >= min_cosine.
@@ -82,14 +85,66 @@ def candidate_pairs_lsh(
     )
 
 
-def tfidf_cosine(pairs: DataFrame, surfaces: DataFrame) -> DataFrame:
+def linked_pairs_exact(
+    surfaces: DataFrame,
+    n_docs: int,
+    min_jaccard: float = 0.4,
+    min_cosine: float = 0.5,
+) -> DataFrame:
+    """Blocking + rescoring FUSED into one weighted gram self-join:
+    the same explode-join computes |∩| (→ exact Jaccard) and Σ wa·wb
+    (→ exact TF-IDF cosine) per pair in a single shuffle + aggregation.
+
+    This replaced the MinHashLSH blocking stage for vocabulary-scale
+    inputs after measurement showed (a) LSH's OR-construction at 5
+    tables MISSES ~8% of true pairs at jaccard 0.4, and (b) its fit +
+    self-join costs more than the exact join up to ~10^6 surfaces
+    (distinct-surface tables are vocab-scale even at 10^12 turns).
+    candidate_pairs_lsh remains the blocking stage beyond that size.
+    Stop-gram fanout is the scale risk of the exact join: cap with
+    functions.skew.frequency_cap on the gram key, and AQE skew-split
+    handles the residue."""
+    terms = surfaces.select("surface", F.explode("grams").alias("gram"))
+    df_ = terms.groupBy("gram").agg(F.countDistinct("surface").alias("df"))
+    weighted = (
+        terms.join(F.broadcast(df_), "gram")
+        .withColumn("w", F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1.0)) + 1.0)
+    )
+    stats = weighted.groupBy("surface").agg(
+        F.count("*").alias("sz"),
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"),
+    )
+    wa = weighted.select(F.col("surface").alias("surface_a"), "gram", F.col("w").alias("wa"))
+    wb = weighted.select(F.col("surface").alias("surface_b"), "gram", F.col("w").alias("wb"))
+    pair_agg = (
+        wa.join(wb, "gram")
+        .filter(F.col("surface_a") < F.col("surface_b"))
+        .groupBy("surface_a", "surface_b")
+        .agg(F.count("*").alias("inter"), F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    sa = stats.select(F.col("surface").alias("surface_a"),
+                      F.col("sz").alias("sa"), F.col("nrm").alias("na"))
+    sb = stats.select(F.col("surface").alias("surface_b"),
+                      F.col("sz").alias("sb"), F.col("nrm").alias("nb"))
+    return (
+        pair_agg.join(F.broadcast(sa), "surface_a")
+        .join(F.broadcast(sb), "surface_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")))
+        .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter((F.col("jaccard") >= min_jaccard) & (F.col("cosine") >= min_cosine))
+        .select("surface_a", "surface_b", "jaccard", "cosine")
+    )
+
+
+def tfidf_cosine(pairs: DataFrame, surfaces: DataFrame, n_docs: int | None = None) -> DataFrame:
     """Exact TF-IDF cosine over candidate pairs via explode-join.
 
     terms(surface, gram, w): w = idf(gram) = ln((N+1)/(df+1)) + 1;
     cosine(a,b) = Σ wa·wb / (‖a‖·‖b‖). Pure SQL — scales as a hash
     join on gram, with AQE skew splitting for stop-grams.
     """
-    n_docs = surfaces.count()
+    if n_docs is None:
+        n_docs = surfaces.count()
     terms = surfaces.select("surface", F.explode("grams").alias("gram"))
     df_ = terms.groupBy("gram").agg(F.countDistinct("surface").alias("df"))
     weighted = (
@@ -179,16 +234,21 @@ def link_mentions(
     jaccard_max_dist: float = 0.6,
     min_cosine: float = 0.5,
     surfaces: DataFrame | None = None,
+    lsh_above_surfaces: int = 1_000_000,
 ) -> DataFrame:
     """triples → linked surface pairs (surface_a, surface_b, jaccard, cosine).
 
-    surfaces are localCheckpoint-ed, not just persisted: the LSH
-    self-join and the explode-join cosine each copy the input logical
-    plan several times, and without truncation Catalyst re-analyzes the
-    whole upstream extraction tree per stage (measured 24s of pure
-    driver analysis on a 40-row surface table). The checkpoint
-    materializes a tiny table — distinct mention surfaces — so this is
-    cheap at any corpus size."""
+    surfaces are localCheckpoint-ed, not just persisted: the pair joins
+    copy the input logical plan several times, and without truncation
+    Catalyst re-analyzes the whole upstream extraction tree per stage
+    (measured 24s of pure driver analysis on a 40-row surface table).
+    The checkpoint materializes a tiny table — distinct mention
+    surfaces — so this is cheap at any corpus size.
+
+    Blocking strategy is size-adaptive and measured: up to
+    `lsh_above_surfaces` distinct surfaces the fused exact gram join
+    (linked_pairs_exact) is both faster and recall-exact; beyond it the
+    MinHashLSH banding path bounds candidate generation."""
     if surfaces is None:
         surfaces = mention_surfaces(triples).localCheckpoint(eager=True)
     # adaptive shuffle sizing for the pair stages: the distinct-surface
@@ -197,12 +257,23 @@ def link_mentions(
     # overhead (same lever as connected_components)
     spark = triples.sparkSession
     n_surf = surfaces.count()
+    if n_surf <= lsh_above_surfaces:
+        # the fused pair join's volume is gram-collision-driven (can be
+        # ~n² on gram-dense vocabularies), so it runs at FULL session
+        # shuffle width — measured 3.8s at 32 vs 5.6s at 2 partitions on
+        # a 1k-surface / 500k-pair input
+        return linked_pairs_exact(
+            surfaces, n_surf,
+            min_jaccard=1.0 - jaccard_max_dist, min_cosine=min_cosine,
+        ).localCheckpoint(eager=True)
+    # LSH path: candidate volume is bounded by banding, so downsize the
+    # shuffles to the surface count (scheduling overhead otherwise)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     loop_parts = max(2, min(int(prev), n_surf // 50_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         pairs = candidate_pairs_lsh(surfaces, jaccard_max_dist)
-        scored = tfidf_cosine(pairs, surfaces)
+        scored = tfidf_cosine(pairs, surfaces, n_docs=n_surf)
         out = scored.filter(F.col("cosine") >= min_cosine).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)

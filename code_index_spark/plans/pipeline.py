@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators.canon import connected_components
-from ..operators.extract import extract_triples
+from ..operators.extract import extract_triples_sql
 from ..operators.link import link_mentions, mention_surfaces
 from ..operators.materialize import (
     assign_entities,
@@ -28,7 +28,9 @@ def build_graph(
     Pass a pre-extracted (ideally persisted) `triples` DataFrame to
     avoid re-running extraction when composing with other jobs."""
     if triples is None:
-        triples = extract_triples(transcripts).persist()
+        # the Catalyst extractor: the graph stages never read span
+        # offsets, so the whole extraction stays in WholeStageCodegen
+        triples = extract_triples_sql(transcripts).persist()
     # the distinct-surface table is computed ONCE (checkpointed — it
     # feeds the LSH self-join, whose plan duplication would otherwise
     # re-analyze the extraction tree per stage) and shared by linking

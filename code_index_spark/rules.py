@@ -65,6 +65,12 @@ class Rule:
 ALL = ("user", "assistant", "system", "tool")
 
 # NOTE: patterns avoid lookaround (RE2 has none) and backreferences.
+# ASCII-ONLY ASSUMPTION: \b is Unicode-aware in Python `re` but
+# ASCII-only in RE2 (DuckDB) and ASCII-by-default in Java regex, so on
+# non-ASCII text ('caféABC') the engines disagree about word boundaries.
+# Every corpus this table runs on is ASCII by construction; a rule
+# intended for non-ASCII text must replace \b with explicit
+# [^A-Za-z0-9_] alternation anchors.
 RULES: list[Rule] = [
     # class — entity mentions. @handle form and TitleCase multi-word form.
     Rule("class.handle", ALL, "class", r"@[A-Za-z][A-Za-z0-9_-]{2,}", 0, 0, 0.95,

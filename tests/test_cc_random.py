@@ -23,7 +23,14 @@ class _UF:
             self.p[ra] = rb
 
 
-def test_cc_matches_union_find_on_random_graph(spark):
+import pytest
+
+
+@pytest.mark.parametrize("driver_max_edges", [1_000_000, 0])
+def test_cc_matches_union_find_on_random_graph(spark, driver_max_edges):
+    """driver_max_edges=1M exercises the driver union-find cutover;
+    0 forces the distributed large/small-star loop — both must produce
+    the identical min-id labeling."""
     rng = random.Random(7)
     n_nodes = 400
     pairs = []
@@ -36,7 +43,10 @@ def test_cc_matches_union_find_on_random_graph(spark):
         pairs.append((min(sa, sb), max(sa, sb)))
         uf.union(sa, sb)
     df = spark.createDataFrame(sorted(set(pairs)), "surface_a string, surface_b string")
-    got = {r["surface"]: r["component"] for r in connected_components(df).collect()}
+    got = {
+        r["surface"]: r["component"]
+        for r in connected_components(df, driver_max_edges=driver_max_edges).collect()
+    }
 
     # same partition of nodes: two nodes share a spark component iff
     # they share a union-find root

@@ -32,6 +32,24 @@ def test_extraction_pr_vs_planted_oracle(spark, synth_corpus):
     assert (got.subj == got.conv_id + "#" + got.turn_idx.astype(str)).all()
 
 
+def test_sql_extraction_matches_python_path(spark, synth_corpus):
+    """The pure-Catalyst extractor must emit the identical triple
+    multiset as the mapInPandas path (minus span offsets)."""
+    from collections import Counter
+
+    from code_index_spark.operators.extract import extract_triples_sql
+
+    transcripts_pdf, _ = synth_corpus
+    tdf = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS)
+    key = lambda pdf: Counter(
+        zip(pdf.conv_id, pdf.turn_idx, pdf.subj, pdf.pred, pdf.obj,
+            pdf.rule_id, pdf.confidence)
+    )
+    py = key(extract_triples(tdf).toPandas())
+    sql = key(extract_triples_sql(tdf).toPandas())
+    assert py == sql
+
+
 def test_extraction_deterministic(spark, synth_corpus):
     transcripts_pdf, _ = synth_corpus
     tdf = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS)
