@@ -40,6 +40,7 @@ from code_index_spark.operators.textstats import (
     LANG_MARKERS,
     TOKEN_REGEX,
     fingerprint,
+    fingerprint_sql,
     lang_id,
     quality_features,
     token_counts,
@@ -688,13 +689,31 @@ def _q_reassembled_segments(spark, sf_dir):
 
 
 def _q_entity_linking(spark, sf_dir):
+    """The linking stage itself: fused exact gram join (Jaccard +
+    TF-IDF cosine in one shuffle) — oracle-checked against the same
+    formula in DuckDB, surfaces generated from the rule table."""
     from code_index_spark.operators.link import link_mentions
 
     t = derived_transcripts(spark, sf_dir)
-    triples = extract_triples(t)
+    triples = extract_triples_sql(t)
     return link_mentions(triples).select(
         "surface_a", "surface_b", F.round("jaccard", 4).alias("jaccard"),
         F.round("cosine", 4).alias("cosine"),
+    ).orderBy("surface_a", "surface_b")
+
+
+def _q_kv_section_stats(spark, sf_dir):
+    """X9 correctness surface: aggregate stats of the typed kv_section
+    segments. The oracle re-derives sections in DuckDB via gaps-and-
+    islands over kv-matching lines, so the structured-parse branch of
+    the segmentation cascade is hash-checked, not just golden-tested."""
+    t = derived_transcripts(spark, sf_dir)
+    segs = segment(t).filter(F.col("seg_type") == "kv_section")
+    return segs.agg(
+        F.count("*").alias("n_sections"),
+        F.sum(F.col("end_line") - F.col("start_line") + 1).alias("n_kv_lines"),
+        F.countDistinct("conv_id", "turn_idx").alias("n_turns_with_sections"),
+        F.sum(F.length("content")).alias("total_chars"),
     )
 
 
@@ -707,6 +726,32 @@ def _q_segment_search_rank(spark, sf_dir):
     t = derived_transcripts(spark, sf_dir)
     hits = search_segments(segment(t), t, "merge")
     return reassemble_hits(hits, k=10)
+
+
+def _q_graph_entities_named(spark, sf_dir):
+    """Canonicalized entity vertices WITHOUT engine-specific ids:
+    (canonical_name, n_surfaces, mention_count) per connected
+    component — fully oracle-checked (linking + CC + canonicalization
+    all reproduced in DuckDB, CC via a recursive-closure CTE)."""
+    from code_index_spark.operators.canon import connected_components
+    from code_index_spark.operators.link import link_mentions, mention_surfaces
+    from code_index_spark.operators.materialize import assign_entities, build_vertices
+
+    t = derived_transcripts(spark, sf_dir)
+    triples = extract_triples_sql(t)
+    surfaces = mention_surfaces(triples).localCheckpoint(eager=True)
+    pairs = link_mentions(triples, surfaces=surfaces)
+    comps = connected_components(pairs)
+    em = assign_entities(triples, comps, surfaces=surfaces)
+    return (
+        build_vertices(em)
+        .select(
+            "canonical_name",
+            F.size("surface_forms").cast("int").alias("n_surfaces"),
+            "mention_count",
+        )
+        .orderBy("canonical_name")
+    )
 
 
 def _q_graph_vertices(spark, sf_dir):
@@ -749,8 +794,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_stats": _q_segment_stats,
         "reassembled_segments": _q_reassembled_segments,
         "segment_search_rank": _q_segment_search_rank,
+        "kv_section_stats": _q_kv_section_stats,
         "entity_linking": _q_entity_linking,
         "graph_vertices": _q_graph_vertices,
+        "graph_entities_named": _q_graph_entities_named,
         "comention_degree": _q_comention_degree,
         "pagerank_mentions": _q_pagerank_mentions,
         "catalog_stats": _q_catalog_stats,
@@ -940,6 +987,77 @@ def _mention_graph_ctes() -> str:
     )
 
 
+def _linking_ctes(min_jaccard: float = 0.4, min_cosine: float = 0.5) -> str:
+    """DuckDB twin of link.linked_pairs_exact over the class-rule
+    surface corpus: identical gram/idf/jaccard/cosine formulas.
+    Ends with `linked(sa, sb, jaccard, cosine)`."""
+    from code_index_spark.oracle import class_surfaces_sql
+
+    return (
+        f", surf AS ({class_surfaces_sql()})"
+        ", normed AS (SELECT surface,"
+        f" ' ' || {_NORM_SQL} || ' ' AS p FROM surf)"
+        ", grams AS (SELECT surface, unnest(list_distinct("
+        "   [substr(p, i, 3) for i in range(1, greatest(length(p) - 2, 1) + 1)])) AS gram"
+        "  FROM normed)"
+        ", nd AS (SELECT count(*) AS n FROM surf)"
+        ", dfq AS (SELECT gram, count(DISTINCT surface) AS df FROM grams GROUP BY gram)"
+        ", wtd AS (SELECT surface, g.gram,"
+        "   ln(((SELECT n FROM nd) + 1.0) / (df + 1.0)) + 1.0 AS w"
+        "  FROM grams g JOIN dfq USING (gram))"
+        ", stats AS (SELECT surface, count(*) AS sz, sqrt(sum(w * w)) AS nrm"
+        "  FROM wtd GROUP BY surface)"
+        ", pr AS (SELECT a.surface AS sa, b.surface AS sb,"
+        "   count(*) AS inter, sum(a.w * b.w) AS dot"
+        "  FROM wtd a JOIN wtd b ON a.gram = b.gram AND a.surface < b.surface"
+        "  GROUP BY 1, 2)"
+        ", linked AS (SELECT sa, sb,"
+        "   round(inter * 1.0 / (x.sz + y.sz - inter), 4) AS jaccard,"
+        "   round(dot / (x.nrm * y.nrm), 4) AS cosine"
+        "  FROM pr JOIN stats x ON x.surface = sa JOIN stats y ON y.surface = sb"
+        f"  WHERE inter * 1.0 / (x.sz + y.sz - inter) >= {min_jaccard}"
+        f"   AND dot / (x.nrm * y.nrm) >= {min_cosine})"
+    )
+
+
+def _entity_linking_oracle() -> str:
+    return (
+        _linking_ctes()
+        + " SELECT sa AS surface_a, sb AS surface_b, jaccard, cosine"
+        " FROM linked ORDER BY surface_a, surface_b"
+    )
+
+
+def _graph_entities_oracle() -> str:
+    """Canonicalized entity vertices: connected components of the
+    linked-pair graph via a recursive transitive-closure CTE (min-id
+    labels, exactly the engine's union-find/star-loop semantics),
+    canonical name = most-mentioned surface, ties lexicographic."""
+    from code_index_spark.oracle import class_mentions_sql
+
+    return (
+        _linking_ctes()
+        + f", cm AS ({class_mentions_sql()})"
+        ", mc AS (SELECT surface, CAST(count(*) AS BIGINT) AS n FROM cm GROUP BY surface)"
+        ", und AS (SELECT sa AS a, sb AS b FROM linked"
+        "   UNION ALL SELECT sb, sa FROM linked)"
+        ", comps AS (SELECT * FROM ("
+        "   WITH RECURSIVE reach(s, t) AS ("
+        "     SELECT a, b FROM und"
+        "     UNION"
+        "     SELECT r.s, u.b FROM reach r JOIN und u ON u.a = r.t"
+        "   ) SELECT s, least(s, min(t)) AS comp FROM reach GROUP BY s))"
+        ", em AS (SELECT m.surface, m.n, COALESCE(c.comp, m.surface) AS comp"
+        "   FROM mc m LEFT JOIN comps c ON c.s = m.surface)"
+        ", ranked AS (SELECT *, row_number() OVER ("
+        "   PARTITION BY comp ORDER BY n DESC, surface ASC) AS rk FROM em) "
+        "SELECT max(CASE WHEN rk = 1 THEN surface END) AS canonical_name,"
+        " CAST(count(*) AS INT) AS n_surfaces,"
+        " CAST(sum(n) AS BIGINT) AS mention_count "
+        "FROM ranked GROUP BY comp ORDER BY canonical_name"
+    )
+
+
 def _degree_oracle() -> str:
     return (
         _mention_graph_ctes()
@@ -1052,6 +1170,33 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "entity_search": ow(_entity_search_oracle("acme corp widget", 10)),
+        "entity_linking": ow(_entity_linking_oracle()),
+        "kv_section_stats": ow(
+            ", lines AS ("
+            "  SELECT conv_id, turn_idx,"
+            "   unnest([{'i': i, 'line': sp[i]} for i in range(1, len(sp) + 1)]) AS r"
+            "  FROM (SELECT conv_id, turn_idx, string_split(text, chr(10)) AS sp"
+            "        FROM transcripts)"
+            "), kv AS ("
+            "  SELECT conv_id, turn_idx, r.i AS i, r.line AS line FROM lines"
+            "  WHERE regexp_matches(r.line, '^[a-z_][a-z0-9_]*=[^\\n]+$')"
+            "), isl AS ("
+            "  SELECT conv_id, turn_idx, i, line,"
+            "   i - row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY i) AS grp"
+            "  FROM kv"
+            "), runs AS ("
+            "  SELECT conv_id, turn_idx, grp, count(*) AS n_lines,"
+            "   sum(length(line)) AS chars"
+            "  FROM isl GROUP BY 1, 2, 3 HAVING count(*) >= 2"
+            ") "
+            "SELECT CAST(count(*) AS BIGINT) AS n_sections,"
+            " CAST(sum(n_lines) AS BIGINT) AS n_kv_lines,"
+            " CAST(count(DISTINCT conv_id || '#' || turn_idx) AS BIGINT)"
+            "  AS n_turns_with_sections,"
+            " CAST(sum(chars + n_lines - 1) AS BIGINT) AS total_chars "
+            "FROM runs"
+        ),
+        "graph_entities_named": ow(_graph_entities_oracle()),
         "comention_degree": ow(_degree_oracle()),
         "pagerank_mentions": ow(_pagerank_oracle(5, 0.85)),
         "multi_corpus_union": ow(
@@ -1226,6 +1371,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_ngram_jaccard": _NGRAM_ORACLE,
         "minhash_dedup_verified": _NGRAM_ORACLE,
+        "fingerprint_docs": fingerprint_sql(),
         "ann_topk": (
             "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) "
             "SELECT vec_id AS id,"
@@ -1283,11 +1429,15 @@ def oracle_sql() -> dict[str, str]:
             f" CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INT) AS bpe_tokens "
             "FROM documents ORDER BY doc_id"
         ),
-        # segment_stats / reassembled_segments / entity_linking /
-        # graph_vertices / minhash_candidates / media_features /
-        # fingerprint_docs: non-SQL-expressible (greedy chunker, ML LSH
-        # model internals, binary payloads, rolling-hash winnowing) →
-        # rows-only checks. minhash_candidates' recall is separately
-        # gated by minhash_dedup_verified (hash-matched) and a pytest
-        # containment check.
+        # Remaining rows-only queries, each genuinely non-SQL:
+        #   segment_stats / reassembled_segments / segment_search_rank —
+        #     the greedy line chunker is inherently sequential per turn;
+        #     its kv_section branch IS hash-checked via kv_section_stats;
+        #   graph_vertices — output carries xxhash64 entity ids (no
+        #     DuckDB equivalent); the full linking+CC+canonicalization
+        #     pipeline is hash-checked via graph_entities_named;
+        #   media_features — binary payloads, no SQL form;
+        #   minhash_candidates — Spark ML LSH model internals; recall is
+        #     gated by minhash_dedup_verified (hash-matched) and a pytest
+        #     containment check.
     }

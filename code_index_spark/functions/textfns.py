@@ -5,6 +5,19 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
+def hash60(col):
+    """Deterministic 60-bit hash = first 15 hex chars of md5, as a
+    non-negative BIGINT. The same value is computable in DuckDB as
+    CAST('0x' || substr(md5(x), 1, 15) AS BIGINT), which keeps every
+    hashing operator (simhash, winnowing fingerprints) fully
+    value-hash oracle-able across engines. 60 bits avoids BIGINT sign
+    games in ANSI mode."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+HASH60_SQL = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
 def glob_to_rlike(pattern: str) -> str:
     """Translate an fnmatch-style glob to an anchored regex (the Spark
     re-expression of the reference's ignore-pattern matching,

@@ -199,9 +199,10 @@ def simhash_bands(max_hamming: int) -> tuple[int, int]:
 
 
 def _tok_hash60(col):
-    """Deterministic 60-bit token hash = first 15 hex chars of md5.
-    Identical in DuckDB: CAST('0x' || substr(md5(tok),1,15) AS BIGINT)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    """Deterministic 60-bit token hash, shared with the oracle SQL."""
+    from ..functions.textfns import hash60
+
+    return hash60(col)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -1,15 +1,12 @@
 """Text analysis operators for training-data pipelines: language-ID
 heuristic, quality scoring, token counting, document fingerprinting.
-All but the fingerprint are pure Catalyst expressions (WholeStageCodegen,
-oracle-expressible in DuckDB); the fingerprint is an Arrow-batched
-pandas UDF (rolling hash needs sequential state per doc).
+Pure Catalyst end to end (WholeStageCodegen, no Python workers); every
+operator including the winnowing fingerprint is oracle-expressible in
+DuckDB — the fingerprint uses md5 window hashes shared with its oracle.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 # tiny per-language stopword marker sets for the n-gram/stopword
@@ -91,40 +88,40 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str, window: int = 8) -> DataFrame:
-    """Winnowing-style document fingerprint: min rolling hash over
-    word windows (polynomial rolling hash mod 2^61-1). Arrow-batched
-    pandas UDF — sequential per doc, vectorized per batch."""
-    MOD = (1 << 61) - 1
-    BASE = 1_000_003
+    """Winnowing-style document fingerprint: min of 60-bit md5 hashes
+    over sliding `window`-word shingles. Pure Catalyst — the window
+    hash is md5 of the space-joined shingle, so the exact computation
+    is expressible in DuckDB (fingerprint_sql below) and the operator
+    keeps a full value-hash oracle. Empty/whitespace-only text → 0.
 
-    def fp(text: str) -> int:
-        if not text:
-            return 0
-        words = text.split()
-        if not words:
-            return 0
-        hashes = []
-        for w in words:
-            h = 0
-            for ch in w.encode("utf-8"):
-                h = (h * BASE + ch) % MOD
-            hashes.append(h)
-        best = None
-        k = min(window, len(hashes))
-        roll = 0
-        pw = pow(BASE, k - 1, MOD)
-        for i, h in enumerate(hashes):
-            roll = (roll * BASE + h) % MOD
-            if i >= k:
-                roll = (roll - hashes[i - k] * pw * BASE) % MOD
-            if i >= k - 1:
-                best = roll if best is None else min(best, roll)
-        return best if best is not None else hashes[0]
+    Trade-off vs a rolling polynomial hash: each word is hashed
+    ~window times instead of once (still linear in text bytes × a
+    small constant), in exchange for no Python workers and engine-
+    portable values; 61-bit modular arithmetic overflows BIGINT in
+    ANSI mode, so a rolling formulation cannot be shared with SQL."""
+    from ..functions.textfns import hash60
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"id": pdf[id_col], "fingerprint": [fp(t) for t in pdf[text_col]]}
-            )
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n = F.size(words)
+    k = F.least(F.lit(window), n)
+    idx = F.sequence(F.lit(1), n - k + 1)
+    wins = F.transform(idx, lambda i: hash60(F.concat_ws(" ", F.slice(words, i, k))))
+    fp = F.when(F.length(F.trim(t)) == 0, F.lit(0).cast("long")).otherwise(
+        F.array_min(wins)
+    )
+    return df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
 
-    return df.select(id_col, text_col).mapInPandas(run, schema="id long, fingerprint long")
+
+def fingerprint_sql(window: int = 8, table: str = "documents",
+                    id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of fingerprint() — generated from the same constants."""
+    h = "CAST(('0x' || substr(md5(array_to_string(words[i:i+k-1], ' ')), 1, 15)) AS BIGINT)"
+    return (
+        f"WITH w AS (SELECT {id_col} AS id, trim({text_col}) AS t,"
+        f" string_split_regex(trim({text_col}), '\\s+') AS words FROM {table}),"
+        f" kk AS (SELECT id, t, words, least({window}, len(words)) AS k FROM w) "
+        f"SELECT id, CASE WHEN length(t) = 0 THEN 0 ELSE"
+        f" list_min([{h} for i in range(1, len(words) - k + 2)]) END AS fingerprint "
+        f"FROM kk ORDER BY id"
+    )
