@@ -502,6 +502,95 @@ def _q_top_parts_per_brand(spark, sf_dir):
     )
 
 
+def _q_q4_waiting_orders(spark, sf_dir):
+    """Q4 shape: EXISTS semi-join — orders with any late-shipping line
+    (shipped > 60 days after order date), counted per priority."""
+    tbl = load_tables(spark, sf_dir)
+    o = tbl["orders"]
+    l = tbl["lineitem"]
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_q13_custdist(spark, sf_dir):
+    """Q13 shape: left outer join + two-level aggregation — the
+    orders-per-customer distribution including zero-order customers."""
+    tbl = load_tables(spark, sf_dir)
+    c = tbl["customer"]
+    o = tbl["orders"]
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def _q_q18_big_orders(spark, sf_dir):
+    """Q18 shape: HAVING-filtered IN-subquery — customers behind orders
+    whose total quantity exceeds 270."""
+    tbl = load_tables(spark, sf_dir)
+    big = (
+        tbl["lineitem"].groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 270)
+    )
+    o = tbl["orders"]
+    c = tbl["customer"]
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", F.col("o_orderkey"),
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+    )
+
+
+def _q_q16_brand_suppliers(spark, sf_dir):
+    """Q16 shape: distinct-count aggregation over a join."""
+    tbl = load_tables(spark, sf_dir)
+    return (
+        tbl["part"].join(tbl["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"))
+    )
+
+
+def _q_revenue_rollup(spark, sf_dir):
+    """ROLLUP aggregation (A5-adjacent subtotal surface): revenue by
+    (returnflag, linestatus) with subtotal and grand-total rows."""
+    tbl = load_tables(spark, sf_dir)
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        tbl["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(rev, 2).alias("revenue"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue", "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
 def _q_customers_without_orders(spark, sf_dir):
     tbl = load_tables(spark, sf_dir)
     return (
@@ -805,6 +894,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": _q_q1_pricing,
         "q3_top_revenue": _q_q3_top_revenue,
         "q5_region_revenue": _q_q5_region_revenue,
+        "q4_waiting_orders": _q_q4_waiting_orders,
+        "q13_custdist": _q_q13_custdist,
+        "q18_big_orders": _q_q18_big_orders,
+        "q16_brand_suppliers": _q_q16_brand_suppliers,
+        "revenue_rollup": _q_revenue_rollup,
         "top_parts_per_brand": _q_top_parts_per_brand,
         "customers_without_orders": _q_customers_without_orders,
         "events_sessionize": _q_events_sessionize,
@@ -1327,6 +1421,43 @@ def oracle_sql() -> dict[str, str]:
             "JOIN lineitem ON l_orderkey = o_orderkey "
             "JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey "
             "GROUP BY n_name ORDER BY n_name"
+        ),
+        "q4_waiting_orders": (
+            "SELECT o_orderpriority, count(*) AS order_count FROM orders o "
+            "WHERE EXISTS (SELECT 1 FROM lineitem l"
+            " WHERE l.l_orderkey = o.o_orderkey"
+            " AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "q13_custdist": (
+            "SELECT c_count, count(*) AS custdist FROM ("
+            " SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count"
+            " FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+            " GROUP BY c_custkey"
+            ") GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+        ),
+        "q18_big_orders": (
+            "SELECT c_custkey, c_name, o_orderkey,"
+            " CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate,"
+            " round(total_qty, 2) AS total_qty "
+            "FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty"
+            "      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 270) b "
+            "JOIN orders ON o_orderkey = b.l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "ORDER BY total_qty DESC, o_orderkey ASC"
+        ),
+        "q16_brand_suppliers": (
+            "SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM part JOIN lineitem ON p_partkey = l_partkey "
+            "GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand ASC"
+        ),
+        "revenue_rollup": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,"
+            " COALESCE(l_linestatus, 'ALL') AS linestatus,"
+            " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,"
+            " count(*) AS n "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) "
+            "ORDER BY returnflag, linestatus"
         ),
         "top_parts_per_brand": (
             "SELECT p_brand, p_partkey, round(p_retailprice, 2) AS p_retailprice, rk FROM ("

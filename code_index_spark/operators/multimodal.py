@@ -105,6 +105,93 @@ def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
+def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an audio payload to a float64 waveform in [-1, 1].
+
+    STUB: real decoding needs an audio codec (soundfile/ffmpeg — not in
+    this container). With fake=True returns a deterministic pseudo-
+    waveform derived from the payload hash."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires an audio codec library; "
+            "run with fake=True for the deterministic stand-in"
+        )
+    h = hashlib.sha256(payload).digest()
+    rng = np.random.RandomState(int.from_bytes(h[4:8], "big"))
+    return rng.uniform(-1.0, 1.0, size=1024)
+
+
+def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """(media_id, n_bytes, sha256, rms, zero_crossings, duration_ms)
+    per audio row — the waveform analogue of image_features: compact
+    features out, binary never survives the stage, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nbytes, digests, rmss, zcs, durs = [], [], [], [], [], []
+            for mid, payload, dur in zip(
+                pdf["media_id"].values, pdf["payload"].values,
+                pdf["duration_ms"].values,
+            ):
+                buf = bytes(payload)
+                wave = decode_audio(buf, fake=fake)
+                ids.append(int(mid))
+                nbytes.append(len(buf))
+                digests.append(hashlib.sha256(buf).hexdigest())
+                rmss.append(float(np.sqrt((wave * wave).mean())))
+                zcs.append(int((np.diff(np.signbit(wave)) != 0).sum()))
+                durs.append(int(dur) if dur is not None and not pd.isna(dur) else 0)
+            yield pd.DataFrame(
+                {"media_id": ids, "n_bytes": nbytes, "sha256": digests,
+                 "rms": rmss, "zero_crossings": zcs, "duration_ms": durs}
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload", "duration_ms")
+        .mapInPandas(
+            run,
+            schema="media_id long, n_bytes int, sha256 string, "
+                   "rms double, zero_crossings int, duration_ms int",
+        )
+    )
+
+
+def video_frame_features(media: DataFrame, every_ms: int = 1000,
+                         fake: bool = True) -> DataFrame:
+    """Two-stage video path: frame_sample_plan explodes (media_id,
+    frame_ts_ms) tasks in pure SQL, then ONE decode UDF stage computes
+    per-frame features. The binary joins in only at the UDF stage and
+    each frame decodes independently — the shape that lets a 100 TB
+    video corpus fan frames across the cluster."""
+    plan = frame_sample_plan(media, every_ms)
+    with_payload = plan.join(
+        media.select("media_id", "payload"), "media_id"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, tss, means = [], [], []
+            for mid, ts, payload in zip(
+                pdf["media_id"].values, pdf["frame_ts_ms"].values,
+                pdf["payload"].values,
+            ):
+                # deterministic fake per-frame decode: frame ts salts the hash
+                frame = decode_image(
+                    bytes(payload) + int(ts).to_bytes(4, "big"), fake=fake
+                )
+                ids.append(int(mid))
+                tss.append(int(ts))
+                means.append(float(frame.astype(np.float64).mean()))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_ts_ms": tss, "mean_intensity": means}
+            )
+
+    return with_payload.mapInPandas(
+        run, schema="media_id long, frame_ts_ms int, mean_intensity double"
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Explode videos into frame-sampling tasks (timestamps only — the
     decode itself is the stubbed step). Pure SQL: sequence + explode."""

@@ -129,6 +129,28 @@ RULES: list[Rule] = [
     Rule("data.measure", ALL, "data",
          r"\b[0-9]+(?:\.[0-9]+)? ?(?:ms|gb|rows)\b", 0, 2, 0.85,
          "quantity-with-unit literal", anchors=("ms", "gb", "rows")),
+    # import — from-import statements (fires alongside import.module on
+    # the same span's tail, like overlapping tree-sitter captures).
+    Rule("import.from", ALL, "import",
+         r"\bfrom [a-z_][a-z0-9_.]* import [a-z_][a-z0-9_]*", 0, 3, 0.95,
+         "from-import statement, analogue of (import_from_statement)",
+         anchors=("from ",)),
+    # logic — negated clause spans.
+    Rule("logic.negation", ALL, "logic",
+         r"\bnot [a-z][a-z0-9 _-]{3,40}", 0, 1, 0.8,
+         "negation clause, analogue of (unary_expression operator: !)",
+         anchors=("not ",)),
+    # data — version tokens.
+    Rule("data.version", ALL, "data",
+         r"\bv[0-9]+\.[0-9]+(?:\.[0-9]+)?\b", 0, 3, 0.9,
+         "semantic-version literal",
+         anchors=tuple(f"v{d}" for d in range(10))),
+    # function — qualified method invocations (the bare-call tail also
+    # matches call.paren — overlapping captures are both emitted).
+    Rule("function.method", ALL, "function",
+         r"\b[a-z_][a-z0-9_]*\.[a-z_][a-z0-9_]*\(\)", 0, 2, 0.9,
+         "method invocation, analogue of (call_expression function: (attribute))",
+         anchors=("()",)),
 ]
 
 

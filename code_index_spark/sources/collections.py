@@ -1,0 +1,114 @@
+"""Collection DDL + catalog operations (S9/S10/A5 in SURVEY.md §2.1;
+reference: vector_store.py:206-284 initialize/create-indexes and
+collections.py:45-292 list/info/delete/prune).
+
+A "collection" here is a bucketed, partitioned table registered in the
+Spark catalog: rows hash into `n_buckets` partitions on a key column —
+the same layout the checkpoint/resume store uses, so a collection
+created here is directly resumable. On a metastore-backed cluster the
+same calls run against Iceberg (`USING iceberg` + `bucket(N, key)`
+partition transform); locally they create external parquet tables so
+DROP never destroys data the caller didn't ask to delete.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def collection_name(workspace: str) -> str:
+    """Deterministic collection name from a workspace identifier —
+    the reference's `ws-<sha256[:16]>` scheme (collections.py:45)."""
+    import hashlib
+
+    return "ws_" + hashlib.sha256(workspace.encode("utf-8")).hexdigest()[:16]
+
+
+def create_collection(
+    spark: SparkSession,
+    name: str,
+    df: DataFrame,
+    key_col: str,
+    path: str,
+    n_buckets: int = 16,
+) -> None:
+    """Create (or replace) a collection: bucket rows on xxhash64(key),
+    write partitioned parquet at `path`, register as an external table."""
+    drop_collection(spark, name)
+    bucketed = df.withColumn(
+        "bucket", F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
+    )
+    (
+        bucketed.write.mode("overwrite")
+        .partitionBy("bucket")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
+def list_collections(spark: SparkSession) -> list[str]:
+    return [t.name for t in spark.catalog.listTables()]
+
+
+def collection_info(spark: SparkSession, name: str) -> dict:
+    """points_count / column schema / partition count — the reference's
+    info surface (collections.py:90-224)."""
+    df = spark.table(name)
+    n_rows = df.count()
+    buckets = (
+        df.select("bucket").distinct().count() if "bucket" in df.columns else 0
+    )
+    return {
+        "name": name,
+        "n_rows": n_rows,
+        "n_cols": len(df.columns),
+        "schema": {f.name: f.dataType.simpleString() for f in df.schema.fields},
+        "n_buckets_present": buckets,
+    }
+
+
+def _table_location(spark: SparkSession, name: str) -> str:
+    loc = (
+        spark.sql(f"DESCRIBE FORMATTED {name}")
+        .filter(F.col("col_name") == "Location")
+        .first()["data_type"]
+    )
+    return loc.removeprefix("file:")
+
+
+def prune_collection(spark: SparkSession, name: str, predicate) -> int:
+    """Delete-by-predicate via whole-partition rewrite of affected
+    buckets only (the parquet emulation of Iceberg's DELETE WHERE;
+    same discipline as checkpoint.run_with_resume). Returns rows deleted.
+
+    Buckets whose rows were ALL deleted write no partition under
+    dynamic overwrite — their directories are dropped explicitly
+    (the identical shrinking-data hole the resume path closes)."""
+    import os
+    import shutil
+
+    df = spark.table(name)
+    victims = df.filter(predicate)
+    hit_buckets = [r["bucket"] for r in victims.select("bucket").distinct().collect()]
+    if not hit_buckets:
+        return 0
+    n_before = df.count()
+    keep = df.filter(F.col("bucket").isin(hit_buckets)).filter(~predicate)
+    keep = keep.localCheckpoint(eager=True)  # read fully before overwrite
+    surviving = {r["bucket"] for r in keep.select("bucket").distinct().collect()}
+    loc = _table_location(spark, name)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        keep.write.mode("overwrite").insertInto(name)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for b in set(hit_buckets) - surviving:
+        shutil.rmtree(os.path.join(loc, f"bucket={b}"), ignore_errors=True)
+    spark.catalog.refreshTable(name)
+    return n_before - spark.table(name).count()
+
+
+def drop_collection(spark: SparkSession, name: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -55,6 +55,9 @@ SELECT CAST(l.l_orderkey AS STRING) AS conv_id,
          || ' wrote to /data/' || lower(l.l_returnflag) || '/' || lower(l.l_linestatus)
          || ' note "' || lower(p.p_brand) || '"'
          || ' retry because the flag was ' || lower(l.l_returnflag)
+         || ' bumped to v' || CAST(l.l_partkey % 9 + 1 AS STRING)
+         || '.' || CAST(l.l_suppkey % 10 AS STRING)
+         || ' then df.cache()'
          || CASE WHEN l.l_linenumber % 4 = 3
                  THEN chr(10) || 'status=' || lower(l.l_linestatus)
                       || chr(10) || 'qty=' || CAST(CAST(l.l_quantity AS INT) AS STRING)

@@ -73,6 +73,14 @@ _DEFS = ["rebuild_index", "score_pairs", "emit_edges"]
 _MODULES = ["import numpy.linalg", "import pyspark.sql", "import duckdb"]
 _TOOLMARKS = ["tool:search", "tool:read_file", "tool:browse"]
 _MEASURES = ["125 ms", "3.5 gb", "4400 rows", "17ms"]
+_VERSIONS = ["v1.0", "v2.4.1", "v3.2.1", "v10.0.9"]
+_NEGATIONS = [
+    "not enough executors for this stage",
+    "not safe to retry the write",
+    "not worth caching small tables",
+]
+_FROM_IMPORTS = [("pyspark.sql", "functions"), ("numpy", "linalg"), ("duckdb", "sql")]
+_METHODS = [("df", "cache"), ("rdd", "collect"), ("sess", "stop")]
 
 
 @dataclass
@@ -118,9 +126,36 @@ class _TurnBuilder:
 
 def _plant_random(b: _TurnBuilder, rng: random.Random, role: str) -> None:
     """Plant one random rule-matching span appropriate for `role`."""
-    kind = rng.randrange(13)
+    kind = rng.randrange(17)
     if kind == 11 and role != "assistant":
         kind = 8  # tool markers only match in assistant turns (role-keyed rule)
+    if kind >= 13:
+        if kind == 13:  # data.version
+            b.plant("data", rng.choice(_VERSIONS), "data.version", 0.9,
+                    prefix="bumped to ")
+        elif kind == 14:  # logic.negation
+            b.plant("logic", rng.choice(_NEGATIONS), "logic.negation", 0.8,
+                    prefix="careful ")
+        elif kind == 15:  # import.from — the tail ALSO matches import.module
+            mod, name = rng.choice(_FROM_IMPORTS)
+            full = f"from {mod} import {name}"
+            b.planted.append(Planted(
+                "import", f"import {name}", "import.module", 0.95,
+                b.len + len("uses ") + len(f"from {mod} "),
+                b.len + len("uses ") + len(full),
+            ))
+            b.plant("import", full, "import.from", 0.95, prefix="uses ",
+                    suffix=" ok. ")
+        else:  # function.method — the bare-call tail ALSO matches call.paren
+            obj, meth = rng.choice(_METHODS)
+            full = f"{obj}.{meth}()"
+            b.planted.append(Planted(
+                "call", f"{meth}()", "call.paren", 0.9,
+                b.len + len("then ") + len(obj) + 1,
+                b.len + len("then ") + len(full),
+            ))
+            b.plant("function", full, "function.method", 0.9, prefix="then ")
+        return
     if kind >= 8:
         if kind == 8:  # class.ticket
             b.plant("class", rng.choice(_TICKETS), "class.ticket", 0.9,

@@ -53,6 +53,39 @@ def test_frame_sample_plan(spark):
         assert counts[mid] == (dur + 999) // 1000
 
 
+def test_audio_features_plumbing(spark):
+    from code_index_spark.operators.multimodal import audio_features, decode_audio
+
+    media = synth_media(spark, 60)
+    rows = audio_features(media, fake=True).collect()
+    n_audio = media.filter("kind = 'audio'").count()
+    assert len(rows) == n_audio > 0
+    for r in rows:
+        assert 0.0 < r["rms"] < 1.0
+        assert r["zero_crossings"] > 0
+        assert r["duration_ms"] > 0
+    # decode stub contract: refuses without fake
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"abc")
+
+
+def test_video_frame_features_two_stage(spark):
+    from code_index_spark.operators.multimodal import (
+        frame_sample_plan,
+        video_frame_features,
+    )
+
+    media = synth_media(spark, 30)
+    plan = frame_sample_plan(media, every_ms=1000)
+    feats = video_frame_features(media, every_ms=1000, fake=True)
+    assert feats.count() == plan.count()  # one feature row per planned frame
+    # deterministic: same frame → same feature; distinct frames differ
+    one = feats.filter("media_id = 2").orderBy("frame_ts_ms").collect()
+    assert len(one) >= 2
+    assert one[0]["mean_intensity"] != one[1]["mean_intensity"]
+
+
 def test_incremental_streaming_extraction(spark, tmp_path):
     in_dir = str(tmp_path / "in")
     out_dir = str(tmp_path / "out")
