@@ -35,3 +35,22 @@ def test_jobs_end_to_end(spark, tmp_path, capsys):
     ])
     g = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert g["vertices"] > 0 and g["edges"] > 0
+
+
+def test_dedupe_job_cli(spark, tmp_path, capsys):
+    from jobs import dedupe_corpus as dedupe_job
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, base + " tail"), (3, "something else entirely here")],
+        "doc_id long, text string",
+    )
+    in_dir = str(tmp_path / "docs")
+    docs.write.parquet(in_dir)
+    out = str(tmp_path / "pairs")
+    dedupe_job.main(["--input", in_dir, "--output", out, "--strategy", "verified",
+                     "--threshold", "0.7"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["pairs"] >= 1  # the exact dup pair survives rescoring
+    got = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(out).collect()}
+    assert (0, 1) in got and all(3 not in p for p in got)

@@ -86,6 +86,41 @@ def test_video_frame_features_two_stage(spark):
     assert one[0]["mean_intensity"] != one[1]["mean_intensity"]
 
 
+def test_streaming_exact_dedupe(spark, tmp_path):
+    import datetime as dt
+
+    from code_index_spark.streaming.dedupe_stream import start_streaming_dedupe
+
+    in_dir = str(tmp_path / "sd_in")
+    out_dir = str(tmp_path / "sd_out")
+    ck_dir = str(tmp_path / "sd_ck")
+    schema = "doc_id long, text string, ts timestamp"
+    t0 = dt.datetime(2026, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    mk([
+        (0, "alpha body", t0),
+        (1, "alpha body", t0 + dt.timedelta(minutes=1)),  # dup within watermark
+        (2, "beta body", t0 + dt.timedelta(minutes=2)),
+    ]).write.mode("overwrite").parquet(in_dir)
+    q = start_streaming_dedupe(spark, in_dir, out_dir, ck_dir, schema)
+    q.awaitTermination(120)
+    texts = [r["text"] for r in spark.read.parquet(out_dir).collect()]
+    assert sorted(texts) == ["alpha body", "beta body"]  # dup dropped
+
+    # a new micro-batch with one fresh doc and one replayed duplicate
+    mk([
+        (3, "alpha body", t0 + dt.timedelta(minutes=3)),  # still within watermark
+        (4, "gamma body", t0 + dt.timedelta(minutes=4)),
+    ]).write.mode("append").parquet(in_dir)
+    q2 = start_streaming_dedupe(spark, in_dir, out_dir, ck_dir, schema)
+    q2.awaitTermination(120)
+    texts = sorted(r["text"] for r in spark.read.parquet(out_dir).collect())
+    assert texts == ["alpha body", "beta body", "gamma body"]
+
+
 def test_incremental_streaming_extraction(spark, tmp_path):
     in_dir = str(tmp_path / "in")
     out_dir = str(tmp_path / "out")
