@@ -92,6 +92,42 @@ def build_lsh_index(df: DataFrame, id_col: str, vec_col: str,
     return indexed, planes
 
 
+def build_ivf_index(
+    df: DataFrame, id_col: str, vec_col: str, n_cells: int = 16, seed: int = 42
+):
+    """IVF coarse quantization: KMeans centroids over the corpus, each
+    vector assigned to its nearest cell. Returns (indexed_df, centroids
+    ndarray). One-time pass; persist/write partitioned by `cell` so a
+    query prunes to its probed cells' partitions."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    feat = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("features", array_to_vector("v"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(feat)
+    indexed = model.transform(feat).select("id", "v", "cell")
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    return indexed, centroids
+
+
+def ivf_topk(
+    indexed: DataFrame, centroids: np.ndarray, query: list[float], k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Probe the `n_probe` cells whose centroids are nearest the query
+    (by cosine), exact-rescore their members. Candidate set ≈
+    corpus × n_probe / n_cells — the IVF recall/latency dial."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    cn = np.linalg.norm(centroids, axis=1)
+    sims = (centroids @ q) / np.where(cn * qn == 0, 1, cn * qn)
+    probes = [int(i) for i in np.argsort(-sims)[:n_probe]]
+    cand = indexed.filter(F.col("cell").isin(probes))
+    return brute_force_topk(cand, "id", "v", query, k)
+
+
 def lsh_bucketed_topk(
     indexed: DataFrame, planes: np.ndarray, query: list[float], k: int = 10,
     multiprobe_hamming: int = 1,

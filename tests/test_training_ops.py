@@ -207,6 +207,27 @@ def test_embedding_cosine_pairs_and_blocking(spark):
     assert (0, 1) in blocked  # identical-direction vectors share all sign bits
 
 
+def test_ivf_topk_recall(spark):
+    """IVF coarse quantization: the query's own cluster neighborhood is
+    found; top-1 (self) always survives probing, and top-5 overlap with
+    exact search stays high on clustered data."""
+    from code_index_spark.operators.simsearch import build_ivf_index, ivf_topk
+
+    rng = np.random.RandomState(21)
+    centers = rng.randn(4, 16) * 5
+    vecs = np.vstack([centers[i % 4] + rng.randn(16) * 0.3 for i in range(200)])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "id long, v array<double>",
+    )
+    indexed, centroids = build_ivf_index(df, "id", "v", n_cells=4)
+    q = [float(x) for x in vecs[7]]
+    exact = [r["id"] for r in brute_force_topk(df, "id", "v", q, 5).collect()]
+    approx = [r["id"] for r in ivf_topk(indexed, centroids, q, 5, n_probe=2).collect()]
+    assert approx[0] == 7  # self found
+    assert len(set(exact) & set(approx)) >= 4  # near-exact on clustered data
+
+
 def test_brute_force_topk_and_lsh_agree(spark):
     rng = np.random.RandomState(11)
     vecs = rng.randn(200, 16)
