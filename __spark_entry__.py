@@ -47,6 +47,7 @@ from code_index_spark.operators.textstats import (
 )
 from code_index_spark.oracle import triples_count_sql, triples_rows_sql
 from code_index_spark.sources.tpch import (
+    TABLES,
     TRANSCRIPTS_EVENTS_SQL,
     derived_transcripts,
     load_tables,
@@ -386,7 +387,7 @@ def _q_pagerank_mentions(spark, sf_dir):
     edges = _mention_edges(spark, sf_dir)
     ranks = pagerank(edges, damping=0.85, max_iter=5, tol=0.0)
     return (
-        ranks.select(F.col("v").alias("vertex"), F.round("rank", 8).alias("rank"))
+        ranks.select(F.col("v").alias("vertex"), F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("vertex"))
     )
 
@@ -1186,7 +1187,7 @@ def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
             f" ) s ON s.v = t.v)"
         )
     return base + (
-        f" SELECT v AS vertex, round(rank, 8) AS rank FROM r{n_iter}"
+        f" SELECT v AS vertex, round(rank, 6) AS rank FROM r{n_iter}"
         " ORDER BY rank DESC, vertex ASC"
     )
 
@@ -1526,10 +1527,9 @@ def oracle_sql() -> dict[str, str]:
                 f" (SELECT count(*) FROM {t}) AS n_rows,"
                 f" (SELECT count(*) FROM information_schema.columns"
                 f"  WHERE table_name = '{t}') AS n_cols"
-                for t in (
-                    "region", "nation", "customer", "supplier", "part",
-                    "orders", "lineitem", "events", "documents", "embeddings",
-                )
+                # single source of truth: iterate the same TABLES constant
+                # the Spark side iterates — adding a table can't desync
+                for t in TABLES
             )
             + ") ORDER BY table_name"
         ),

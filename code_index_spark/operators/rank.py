@@ -76,7 +76,11 @@ def search_segments(
         "adjusted_score",
         F.round(
             _weight_expr(F.col("role"), ROLE_WEIGHTS)
-            * F.when(F.col("seg_type") == "chunk", F.lit(1.0)).otherwise(F.lit(0.9)),
+            # primary text segments (generic chunks, prose paragraphs)
+            # score full weight; typed/fallback segments are discounted
+            * F.when(
+                F.col("seg_type").isin("chunk", "paragraph"), F.lit(1.0)
+            ).otherwise(F.lit(0.9)),
             6,
         ),
     )

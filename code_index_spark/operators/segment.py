@@ -47,6 +47,27 @@ MIN_KV_RUN = 2
 # block_extractor.py:212-262's 5-line fallback branch).
 FALLBACK_WINDOW_LINES = 5
 
+_KV_ANY = re.compile(r"^[a-z_][a-z0-9_]*=[^\n]+$", re.M)
+_URL = re.compile(r"https?://")
+
+
+def content_type_py(text: str | None) -> str:
+    """Python twin of functions.textfns.content_type — same classes,
+    same order, same regexes — used to route per-turn segmentation
+    inside the Arrow batches (the Spark Column version can't run
+    there). Kept in lockstep with the SQL version; the cross-engine
+    parity test pins both against the same inputs."""
+    t = text or ""
+    if re.fullmatch(r"\s*", t):
+        return "empty"
+    if _KV_ANY.search(t):
+        return "kv"
+    if "```" in t:
+        return "code"
+    if len(_URL.findall(t)) >= 2:
+        return "url_heavy"
+    return "prose"
+
 
 def split_to_limit(content: str, max_chars: int = MAX_BLOCK_CHARS) -> list[str]:
     """Split content into ≤max_chars pieces at line boundaries; lines
@@ -163,9 +184,68 @@ def kv_sections(text: str) -> list[dict[str, Any]]:
     return out
 
 
+def paragraphs(text: str) -> list[dict[str, Any]]:
+    """Paragraph-block segmentation for prose-classified turns — the
+    PlainTextParser analogue (reference hybrid_parsers.py:63-165, which
+    routes plain text to its own block parser instead of the generic
+    chunker). Blocks are maximal runs of non-blank lines; blocks under
+    MIN_BLOCK_CHARS after strip are dropped (reference min-chunk
+    discipline); blocks over MAX_BLOCK_CHARS split at line boundaries
+    with the same split_index/parent convention as chunk splits."""
+    if text is None or not text.strip():
+        return []
+    text_hash = hashlib.md5(text.encode("utf-8", errors="ignore")).hexdigest()
+    lines = text.split("\n")
+    out: list[dict[str, Any]] = []
+    run_start: int | None = None
+    for i in range(len(lines) + 1):
+        nonblank = i < len(lines) and lines[i].strip() != ""
+        if nonblank and run_start is None:
+            run_start = i
+        elif not nonblank and run_start is not None:
+            content = "\n".join(lines[run_start:i])
+            start_line, end_line = run_start + 1, i
+            if len(content.strip()) >= MIN_BLOCK_CHARS:
+                if len(content) > MAX_BLOCK_CHARS:
+                    parts = split_to_limit(content)
+                    parent = f"para_{start_line}_{end_line}"
+                    for pi, part in enumerate(parts):
+                        out.append(
+                            dict(
+                                seg_type="paragraph",
+                                start_line=start_line,
+                                end_line=end_line,
+                                content=part,
+                                split_index=pi + 1,
+                                split_total=len(parts),
+                                parent_block_id=parent,
+                                segment_hash=f"{text_hash}{start_line}_para_part{pi + 1}",
+                            )
+                        )
+                else:
+                    out.append(
+                        dict(
+                            seg_type="paragraph",
+                            start_line=start_line,
+                            end_line=end_line,
+                            content=content,
+                            split_index=None,
+                            split_total=None,
+                            parent_block_id=None,
+                            segment_hash=f"{text_hash}{start_line}_para",
+                        )
+                    )
+            run_start = None
+    return out
+
+
 def line_windows(text: str, window: int = FALLBACK_WINDOW_LINES) -> list[dict[str, Any]]:
-    """X8: fixed line-window fallback segments (content hard-capped at
-    MAX_BLOCK_CHARS so pathological whitespace lines stay bounded)."""
+    """X8: fixed line-window fallback segments. A window longer than
+    MAX_BLOCK_CHARS (pathological long lines in sub-min-chunk turns) is
+    split into additional line_window parts via split_to_limit — never
+    truncated — so the fallback's no-drop invariant holds and
+    (start_line, end_line) always span exactly the lines whose content
+    the parts jointly carry (same split convention as chunk splits)."""
     if text is None or not text.strip():
         return []
     text_hash = hashlib.md5(text.encode("utf-8", errors="ignore")).hexdigest()
@@ -173,34 +253,61 @@ def line_windows(text: str, window: int = FALLBACK_WINDOW_LINES) -> list[dict[st
     out: list[dict[str, Any]] = []
     for s in range(0, len(lines), window):
         chunk_lines = lines[s : s + window]
-        content = "\n".join(chunk_lines)[:MAX_BLOCK_CHARS]
+        content = "\n".join(chunk_lines)
         if not content.strip():
             continue
-        out.append(
-            dict(
-                seg_type="line_window",
-                start_line=s + 1,
-                end_line=s + len(chunk_lines),
-                content=content,
-                split_index=None,
-                split_total=None,
-                parent_block_id=None,
-                segment_hash=f"{text_hash}{s + 1}_win",
+        start_line, end_line = s + 1, s + len(chunk_lines)
+        if len(content) > MAX_BLOCK_CHARS:
+            parts = split_to_limit(content)
+            parent = f"win_{start_line}_{end_line}"
+            for pi, part in enumerate(parts):
+                out.append(
+                    dict(
+                        seg_type="line_window",
+                        start_line=start_line,
+                        end_line=end_line,
+                        content=part,
+                        split_index=pi + 1,
+                        split_total=len(parts),
+                        parent_block_id=parent,
+                        segment_hash=f"{text_hash}{start_line}_win_part{pi + 1}",
+                    )
+                )
+        else:
+            out.append(
+                dict(
+                    seg_type="line_window",
+                    start_line=start_line,
+                    end_line=end_line,
+                    content=content,
+                    split_index=None,
+                    split_total=None,
+                    parent_block_id=None,
+                    segment_hash=f"{text_hash}{start_line}_win",
+                )
             )
-        )
     return out
 
 
 def segment_turn(text: str, hybrid: bool = True) -> list[dict[str, Any]]:
-    """Full cascade for one turn: greedy chunks, plus typed kv sections
-    (X9), plus the line-window fallback when chunking dropped everything
-    (X8) — the reference's parse-else-chunk-else-window no-drop chain."""
-    segs = chunk_turn(text)
-    if hybrid:
-        kvs = kv_sections(text)
-        segs = segs + kvs
-        if not segs:
-            segs = line_windows(text)
+    """Full cascade for one turn — the reference's route-by-type
+    parse-else-chunk-else-window chain (tree_sitter → fallback parser →
+    generic chunking → line windows):
+    - prose-classified turns go to the paragraph parser (PlainTextParser
+      analogue), falling back to greedy chunks when no paragraph
+      survives the min-chars gate;
+    - every other type gets greedy chunks;
+    - kv runs additionally get typed kv_section segments (X9, additive);
+    - the fixed line-window fallback (X8) catches turns everything else
+      dropped, so no non-empty turn goes unrepresented."""
+    if not hybrid:
+        return chunk_turn(text)
+    segs = paragraphs(text) if content_type_py(text) == "prose" else []
+    if not segs:
+        segs = chunk_turn(text)
+    segs = segs + kv_sections(text)
+    if not segs:
+        segs = line_windows(text)
     return segs
 
 

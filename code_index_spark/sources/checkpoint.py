@@ -127,17 +127,24 @@ def run_with_resume(
     ckpt: CheckpointStore,
     extract_fn,
     n_buckets: int = DEFAULT_BUCKETS,
+    reconcile_missing: bool = False,
 ) -> dict:
     """Extract triples for pending buckets only; overwrite just those
     partitions of the triples table; mark buckets done with lineage
     metrics (triple_count — north_rule's per-partition metric).
 
-    Exactly-once holds in the *shrinking* cases too:
-    - a pending bucket whose new content yields zero triples gets its
-      stale partition directory deleted explicitly (dynamic partition
-      overwrite alone never touches a partition absent from the write);
-    - a bucket that vanished entirely (all conversations removed) is
-      reconciled: its partition directory and checkpoint row are dropped.
+    `transcripts` may be an incremental slice: buckets absent from the
+    input are never touched by default. Pass ``reconcile_missing=True``
+    ONLY when `transcripts` is the complete corpus — then a bucket that
+    vanished entirely (all conversations removed) is reconciled: its
+    triples partition directory and checkpoint row are dropped. With an
+    incremental slice that flag would destroy every other bucket's data,
+    which is why it is opt-in and off by default.
+
+    Exactly-once holds in the *shrinking* cases too: a pending bucket
+    whose new content yields zero triples gets its stale partition
+    directory deleted explicitly (dynamic partition overwrite alone
+    never touches a partition absent from the write).
     """
     prev_mode = spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "static"
@@ -151,8 +158,9 @@ def run_with_resume(
             for r in ckpt.read().filter(F.col("status") == "done").collect()
         }
         cur_ids = {r["partition_id"] for r in cur_rows}
-        # reconcile vanished buckets: done but no longer in the data
-        gone_ids = sorted(set(done) - cur_ids)
+        # reconcile vanished buckets (full-corpus callers only): done but
+        # no longer in the data
+        gone_ids = sorted(set(done) - cur_ids) if reconcile_missing else []
         for pid in gone_ids:
             _drop_partition_dir(triples_path, pid)
         ckpt.delete(gone_ids)

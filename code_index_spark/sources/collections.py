@@ -13,7 +13,7 @@ DROP never destroys data the caller didn't ask to delete.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 
 def collection_name(workspace: str) -> str:
@@ -84,17 +84,27 @@ def prune_collection(spark: SparkSession, name: str, predicate) -> int:
 
     Buckets whose rows were ALL deleted write no partition under
     dynamic overwrite — their directories are dropped explicitly
-    (the identical shrinking-data hole the resume path closes)."""
+    (the identical shrinking-data hole the resume path closes).
+
+    Three-valued-logic discipline: a row is a victim ONLY if the
+    predicate is definitely true. NULL is treated as "not selected" on
+    both sides (coalesce to false), so rows where the predicate can't
+    be evaluated survive the rewrite of their bucket instead of being
+    silently dropped by ``~predicate``'s NULL."""
     import os
     import shutil
 
     df = spark.table(name)
-    victims = df.filter(predicate)
+    is_victim = F.coalesce(
+        predicate if isinstance(predicate, Column) else F.expr(predicate),
+        F.lit(False),
+    )
+    victims = df.filter(is_victim)
     hit_buckets = [r["bucket"] for r in victims.select("bucket").distinct().collect()]
     if not hit_buckets:
         return 0
     n_before = df.count()
-    keep = df.filter(F.col("bucket").isin(hit_buckets)).filter(~predicate)
+    keep = df.filter(F.col("bucket").isin(hit_buckets)).filter(~is_victim)
     keep = keep.localCheckpoint(eager=True)  # read fully before overwrite
     surviving = {r["bucket"] for r in keep.select("bucket").distinct().collect()}
     loc = _table_location(spark, name)

@@ -27,6 +27,12 @@ def main(argv=None) -> None:
     p.add_argument("--output", required=True, help="triples parquet dir")
     p.add_argument("--checkpoint", required=True, help="checkpoint table dir")
     p.add_argument("--buckets", type=int, default=64)
+    p.add_argument(
+        "--incremental",
+        action="store_true",
+        help="input is a slice, not the full corpus: never reconcile "
+        "(delete) buckets absent from the input",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -37,8 +43,11 @@ def main(argv=None) -> None:
     spark = SparkSession.builder.appName("kgp-extract").getOrCreate()
     transcripts = spark.read.parquet(args.input)
     ckpt = CheckpointStore(spark, args.checkpoint)
+    # --input points at the whole transcripts dir, i.e. the full corpus,
+    # so vanished-bucket reconciliation is safe unless --incremental
     stats = run_with_resume(
-        spark, transcripts, args.output, ckpt, extract_triples, args.buckets
+        spark, transcripts, args.output, ckpt, extract_triples, args.buckets,
+        reconcile_missing=not args.incremental,
     )
     json.dump(stats, sys.stdout)
     print()

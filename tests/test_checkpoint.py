@@ -167,7 +167,16 @@ def test_vanished_bucket_reconciled(spark, tmp_path):
         .filter(F.col("partition_id") != pid)
         .drop("partition_id")
     )
+    # default (incremental-safe): absent buckets are NOT touched
     r = run_with_resume(spark, shrunk, triples_path, ckpt, extract_triples, n_buckets=16)
+    assert r["reconciled_buckets"] == 0
+    assert os.path.exists(os.path.join(triples_path, f"partition_id={pid}"))
+    assert ckpt.read().filter(F.col("partition_id") == pid).count() == 1
+    # full-corpus mode: vanished bucket reconciled away
+    r = run_with_resume(
+        spark, shrunk, triples_path, ckpt, extract_triples, n_buckets=16,
+        reconcile_missing=True,
+    )
     assert r["reconciled_buckets"] == 1
     assert not os.path.exists(os.path.join(triples_path, f"partition_id={pid}"))
     assert ckpt.read().filter(F.col("partition_id") == pid).count() == 0

@@ -52,6 +52,29 @@ def test_collection_lifecycle(spark, tmp_path):
     assert name not in list_collections(spark)
 
 
+def test_prune_keeps_null_predicate_rows(spark, tmp_path):
+    """Three-valued logic: rows where the predicate evaluates to NULL are
+    NOT victims and must survive a rewrite of their bucket (previously
+    filter(~predicate) dropped them alongside the true victims)."""
+    name = collection_name("workspace-nulls")
+    # one bucket (n_buckets=1) so every row shares the rewritten bucket
+    df = spark.createDataFrame(
+        [(1, "drop-me"), (2, None), (3, "keep"), (4, None)],
+        "id long, tag string",
+    )
+    p = str(tmp_path / "c3")
+    create_collection(spark, name, df, key_col="id", path=p, n_buckets=1)
+    deleted = prune_collection(spark, name, F.col("tag") == "drop-me")
+    assert deleted == 1
+    left = {r["id"] for r in spark.table(name).collect()}
+    assert left == {2, 3, 4}  # NULL-tag rows survived
+    # string predicates are accepted too
+    deleted = prune_collection(spark, name, "tag = 'keep'")
+    assert deleted == 1
+    assert {r["id"] for r in spark.table(name).collect()} == {2, 4}
+    drop_collection(spark, name)
+
+
 def test_create_is_idempotent_replace(spark, tmp_path):
     name = collection_name("workspace-beta")
     a = spark.createDataFrame([(1, "x")], "id long, k string")

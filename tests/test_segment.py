@@ -77,6 +77,60 @@ def test_kv_sections_routed():
     assert types == {"chunk", "kv_section"}
 
 
+def test_paragraph_segments_for_prose():
+    from code_index_spark.operators.segment import (
+        content_type_py,
+        paragraphs,
+        segment_turn,
+    )
+
+    p1 = "The merge completed without conflicts and the build stayed green."
+    p2 = "Afterwards the deploy pipeline promoted the artifact to staging."
+    text = f"{p1}\n\n{p2}"
+    assert content_type_py(text) == "prose"
+    segs = paragraphs(text)
+    assert [(s["seg_type"], s["start_line"], s["end_line"], s["content"])
+            for s in segs] == [
+        ("paragraph", 1, 1, p1),
+        ("paragraph", 3, 3, p2),
+    ]
+    assert segs[0]["segment_hash"].endswith("1_para")
+    # the cascade routes prose to paragraphs (no generic chunks emitted)
+    assert {s["seg_type"] for s in segment_turn(text)} == {"paragraph"}
+    # non-prose content keeps the generic chunker
+    code = "```\n" + "x = 1\n" * 20 + "```"
+    assert content_type_py(code) == "code"
+    assert {s["seg_type"] for s in segment_turn(code)} == {"chunk"}
+    # a long paragraph splits losslessly with chunk-style metadata
+    big = " ".join(["word"] * 500)  # ~2500 chars, one paragraph
+    parts = paragraphs(big)
+    assert all(p["seg_type"] == "paragraph" for p in parts)
+    assert parts[0]["split_total"] == len(parts) > 1
+    assert parts[0]["parent_block_id"].startswith("para_")
+    assert "".join(p["content"] for p in parts) == big
+    # sub-min paragraphs drop; the cascade then falls back to chunks
+    tiny_paras = "aa\n\nbb\n\n" + "c" * 60
+    assert len(paragraphs(tiny_paras)) == 1  # only the 60-char block
+
+
+def test_line_window_split_not_truncated():
+    """X8 no-drop: an over-long fallback window is split into parts, not
+    truncated, and the parts jointly carry every byte."""
+    from code_index_spark.operators.segment import line_windows, segment_turn
+
+    # single pathological line: mostly whitespace so the chunker drops it
+    monster = " " * 2990 + "abc"
+    assert chunk_turn(monster) == []
+    segs = segment_turn(monster)
+    assert all(s["seg_type"] == "line_window" for s in segs)
+    assert all(len(s["content"]) <= 1000 for s in segs)
+    assert "".join(s["content"] for s in segs) == monster
+    assert segs[0]["split_total"] == len(segs) == 3
+    assert all((s["start_line"], s["end_line"]) == (1, 1) for s in segs)
+    ws = line_windows(monster)
+    assert ws[0]["parent_block_id"].startswith("win_")
+
+
 def test_line_window_fallback_no_drop():
     from code_index_spark.operators.segment import line_windows, segment_turn
 

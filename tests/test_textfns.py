@@ -40,3 +40,8 @@ def test_content_type_classes(spark):
            df.select("id", content_type(F.col("text")).alias("ct")).collect()}
     assert got == {0: "empty", 1: "empty", 2: "kv", 3: "code",
                    4: "url_heavy", 5: "prose", 6: "empty"}
+    # the Python twin used inside Arrow segmentation batches must agree
+    # with the Column version on every class
+    from code_index_spark.operators.segment import content_type_py
+
+    assert {i: content_type_py(t) for i, t in rows} == got
