@@ -21,7 +21,6 @@ from code_index_spark.operators.dedupe import (
     embedding_cosine_pairs,
     embedding_cosine_pairs_blocked,
     exact_duplicates,
-    minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_pairs,
@@ -659,9 +658,15 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _q_minhash_candidates(spark, sf_dir):
+    """The minhash blocking stage alone: band-collision candidate pairs
+    at k=8 tables. Pure Catalyst md5-60bit signatures (round 3 rewrite)
+    — the whole stage now replicates bit-for-bit in DuckDB, so this
+    query carries a full value-hash oracle instead of rows-only."""
+    from code_index_spark.operators.dedupe import minhash_band_candidates
+
     tbl = load_tables(spark, sf_dir)
-    return minhash_lsh_pairs(tbl["documents"], "doc_id", "text").select(
-        "id_a", "id_b"
+    return minhash_band_candidates(
+        tbl["documents"], "doc_id", "text", n=3, num_hash_tables=8
     ).orderBy("id_a", "id_b")
 
 
@@ -949,6 +954,31 @@ JOIN sizes sb ON sb.id = id_b
 WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8
 ORDER BY id_a, id_b
 """
+
+
+_DOC_GRAMS_CTE = """
+  SELECT id, unnest(list_distinct(
+           [array_to_string(words[i:i+2], ' ')
+            for i in range(1, greatest(len(words)-2, 1) + 1)])) AS g
+  FROM (SELECT doc_id AS id,
+               string_split_regex(trim(text), '\\s+') AS words
+        FROM documents)
+"""
+
+
+def _minhash_candidates_oracle(num_tables: int) -> str:
+    """DuckDB twin of the pure-Catalyst minhash blocking stage: same
+    word-3-gram shingles as _NGRAM_ORACLE, signatures/bands built by
+    functions.minhash.minhash_bands_sql (md5-60bit shared-hash trick),
+    candidates = distinct pairs colliding in >=1 band."""
+    from code_index_spark.functions.minhash import minhash_bands_sql
+
+    return (
+        f"WITH bands AS ({minhash_bands_sql(_DOC_GRAMS_CTE, num_tables)}) "
+        "SELECT DISTINCT a.id AS id_a, b.id AS id_b "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h "
+        "AND a.id < b.id ORDER BY id_a, id_b"
+    )
 
 
 def _lang_hits(lang: str) -> str:
@@ -1560,6 +1590,7 @@ def oracle_sql() -> dict[str, str]:
             f" CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INT) AS bpe_tokens "
             "FROM documents ORDER BY doc_id"
         ),
+        "minhash_candidates": _minhash_candidates_oracle(8),
         # Remaining rows-only queries, each genuinely non-SQL:
         #   segment_stats / reassembled_segments / segment_search_rank —
         #     the greedy line chunker is inherently sequential per turn;
@@ -1567,8 +1598,5 @@ def oracle_sql() -> dict[str, str]:
         #   graph_vertices — output carries xxhash64 entity ids (no
         #     DuckDB equivalent); the full linking+CC+canonicalization
         #     pipeline is hash-checked via graph_entities_named;
-        #   media_features — binary payloads, no SQL form;
-        #   minhash_candidates — Spark ML LSH model internals; recall is
-        #     gated by minhash_dedup_verified (hash-matched) and a pytest
-        #     containment check.
+        #   media_features — binary payloads, no SQL form.
     }

@@ -13,12 +13,13 @@ Pipeline (all DataFrame ops, zero Python UDFs):
     transform + substring — stays in WholeStageCodegen);
  3. pair scoring — size-adaptive: up to ~10^6 distinct surfaces a
     FUSED exact gram self-join computes Jaccard AND TF-IDF cosine in
-    one shuffle (linked_pairs_exact; measured faster than LSH there,
-    and exact-recall where LSH's OR-construction drops ~8% of true
-    pairs at jaccard 0.4); beyond that, HashingTF (binary) →
-    MinHashLSH.approxSimilarityJoin blocks candidates first, then the
-    explode-join TF-IDF cosine rescans them. Both paths are plain
-    shuffle joins + aggregations that AQE can re-plan and skew-split.
+    one shuffle (linked_pairs_exact; measured faster than banding
+    there, and exact-recall by construction); beyond that, pure-SQL
+    minhash banding (functions.minhash, tables sized from a target
+    miss probability — see candidate_pairs_lsh) blocks candidates
+    first, then the explode-join TF-IDF cosine rescores them. Both
+    paths are plain shuffle joins + aggregations that AQE can re-plan
+    and skew-split.
 
 Returns pairs (surface_a, surface_b, jaccard, cosine) with
 surface_a < surface_b, cosine >= min_cosine.
@@ -26,8 +27,13 @@ surface_a < surface_b, cosine >= min_cosine.
 
 from __future__ import annotations
 
-from pyspark.ml.feature import HashingTF, MinHashLSH
 from pyspark.sql import DataFrame, functions as F
+
+from ..functions.minhash import (
+    band_collision_pairs,
+    minhash_bands,
+    tables_for_recall,
+)
 
 
 def normalize_surface(col):
@@ -62,26 +68,39 @@ def mention_surfaces(triples: DataFrame) -> DataFrame:
 def candidate_pairs_lsh(
     surfaces: DataFrame,
     jaccard_max_dist: float = 0.6,
-    num_hash_tables: int = 5,
-    num_features: int = 1 << 18,
+    num_hash_tables: int | None = None,
+    target_miss: float = 0.01,
 ) -> DataFrame:
-    """MinHash-LSH blocking self-join over surfaces → candidate pairs
-    with exact LSH-reported Jaccard distance."""
-    tf = HashingTF(inputCol="grams", outputCol="features", binary=True,
-                   numFeatures=num_features)
-    feat = tf.transform(surfaces)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
-                     numHashTables=num_hash_tables, seed=42)
-    model = lsh.fit(feat)
-    joined = model.approxSimilarityJoin(feat, feat, jaccard_max_dist, distCol="jaccard_dist")
+    """Minhash-banding blocking self-join over surfaces → candidate
+    pairs with exact gram Jaccard (computed on candidates only).
+
+    Recall is now SIZED, not guessed (round-3 fix): the number of
+    banding tables defaults to tables_for_recall(1 - jaccard_max_dist,
+    target_miss) — miss probability for a pair at the minimum
+    qualifying similarity s is (1-s)^k, so the default 0.6/0.01 gives
+    k=10 (the previous fixed k=5 measured ~8% missed true pairs at
+    s=0.4, and this path only runs in the >10⁶-surface regime where
+    rescoring cannot recover blocked-out pairs). Measured recall vs the
+    exact gram join: bench/lsh_recall.py → BENCH.md; pytest gates the
+    containment at the cutover shape."""
+    if num_hash_tables is None:
+        num_hash_tables = tables_for_recall(1.0 - jaccard_max_dist, target_miss)
+    bands = minhash_bands(
+        surfaces.select(F.col("surface").alias("id"), "grams"),
+        "id", "grams", num_hash_tables,
+    )
+    cands = band_collision_pairs(bands).select(
+        F.col("id_a").alias("surface_a"), F.col("id_b").alias("surface_b")
+    )
+    ga = surfaces.select(F.col("surface").alias("surface_a"), F.col("grams").alias("ga"))
+    gb = surfaces.select(F.col("surface").alias("surface_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
     return (
-        joined.select(
-            F.col("datasetA.surface").alias("surface_a"),
-            F.col("datasetB.surface").alias("surface_b"),
-            (1.0 - F.col("jaccard_dist")).alias("jaccard"),
-        )
-        .filter(F.col("surface_a") < F.col("surface_b"))
-        .dropDuplicates(["surface_a", "surface_b"])
+        cands.join(ga, "surface_a")
+        .join(gb, "surface_b")
+        .withColumn("jaccard", inter / (F.size("ga") + F.size("gb") - inter))
+        .filter(F.col("jaccard") >= 1.0 - jaccard_max_dist)
+        .select("surface_a", "surface_b", "jaccard")
     )
 
 

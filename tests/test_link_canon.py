@@ -50,6 +50,57 @@ def test_distinct_entities_do_not_merge(linked):
     assert len(set(reps)) == len(reps), "different entities merged"
 
 
+def test_lsh_blocking_recall_sized(spark):
+    """Recall gate for the >10⁶-surface blocking path (the regime where
+    rescoring cannot recover blocked-out pairs): with banding tables
+    sized by tables_for_recall (k=10 at s≥0.4 / 1% target miss),
+    candidate_pairs_lsh must retain ≥99% of the exact gram-join pairs.
+    Deterministic: signatures are md5-based, no RNG in the engine."""
+    import random
+
+    from code_index_spark.functions.minhash import tables_for_recall
+    from code_index_spark.operators.link import (
+        candidate_pairs_lsh,
+        char_ngrams,
+        linked_pairs_exact,
+        normalize_surface,
+    )
+
+    assert tables_for_recall(0.4, 0.01) == 10
+
+    rnd = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "handler", "service",
+             "index", "parser", "merge", "commit", "table", "stream"]
+    base = [f"{rnd.choice(words)}_{rnd.choice(words)}_{i}" for i in range(300)]
+    # variant transforms must be injective: duplicate surface strings
+    # would double-count grams in the exploded exact join (production
+    # can't hit this — mention_surfaces groups by surface first)
+    variants = (
+        [b + "s" for b in base[:150]]              # near-identical plural
+        + [b.replace("_", "_x", 1) for b in base[150:225]]  # one-word edit
+    )
+    assert len(set(base + variants)) == len(base + variants)
+    surfaces = (
+        spark.createDataFrame([(s,) for s in base + variants], "surface string")
+        .withColumn("norm", normalize_surface(F.col("surface")))
+        .withColumn("grams", char_ngrams(F.col("norm")))
+        .localCheckpoint(eager=True)
+    )
+    exact = {(r["surface_a"], r["surface_b"]) for r in linked_pairs_exact(
+        surfaces, surfaces.count(), min_jaccard=0.4, min_cosine=0.0
+    ).collect()}
+    # candidate_pairs_lsh post-filters candidates at the same exact
+    # jaccard threshold, so candidates ⊆ exact and recall = |∩|/|exact|
+    cands = {(r["surface_a"], r["surface_b"]) for r in candidate_pairs_lsh(
+        surfaces, jaccard_max_dist=0.6
+    ).collect()}
+    assert len(exact) > 100, "fixture must plant enough true pairs"
+    missed = exact - cands
+    assert len(missed) / len(exact) <= 0.01, (
+        f"blocking missed {len(missed)}/{len(exact)} true pairs"
+    )
+
+
 def test_component_determinism(linked, spark):
     _, pairs, comps, _ = linked
     again = connected_components(pairs)
