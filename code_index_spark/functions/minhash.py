@@ -2,13 +2,16 @@
 linking (the blocking stage of J1/§2.5 and the minhash path of the
 dedup suite).
 
-Signature: sig_i(doc) = min over grams g of hash60(g || '|' || i) for
-i in 0..k-1 — a k-table OR-construction with one min-hash per table.
-hash60 is the md5-based 60-bit hash every engine computes identically
-(functions.textfns.hash60), so signatures, bands, and the collision
-join replicate bit-for-bit in DuckDB — banding is fully value-hash
-oracle-able, unlike Spark ML's MinHashLSH whose random coefficients
-live inside the fitted model.
+Signature: hash j of a doc = min over grams g of the 60-bit value at
+hex chars 1-15 (even j) or 17-31 (odd j) of md5(g || '|' || j//2) —
+one digest feeds two min-hashes, halving the md5 work. Bands are
+either single hashes (rows_per_band=1, an OR-construction) or hash60-
+folded groups of r consecutive hashes (AND-OR banding, the production
+setting for low-threshold blocking). Every value is md5-derived, so
+signatures, bands, and the collision join replicate bit-for-bit in
+DuckDB (minhash_bands_sql) — banding is fully value-hash oracle-able,
+unlike Spark ML's MinHashLSH whose random coefficients live inside
+the fitted model.
 
 Recall contract: under the random-permutation approximation,
 P(band i collides) = jaccard(a, b), so a true pair at similarity s is
@@ -46,7 +49,33 @@ def tables_for_recall(min_similarity: float, target_miss: float = 0.01) -> int:
     return max(1, math.ceil(math.log(target_miss) / math.log(1.0 - min_similarity)))
 
 
-def minhash_bands(df: DataFrame, id_col: str, grams_col: str, num_tables: int) -> DataFrame:
+def bands_for_recall(
+    min_similarity: float, target_miss: float = 0.01, rows_per_band: int = 1
+) -> int:
+    """AND-OR sizing: smallest band count b with
+    (1 - min_similarity**r)^b <= target_miss.
+
+    Why r>1 exists (measured, bench/lsh_recall.py): with r=1 a random
+    LOW-similarity pair still collides with probability ~k*s, so at 10⁶
+    short strings over a small char-gram universe the candidate volume
+    goes quadratic (70M pairs from 72k surfaces in the round-3
+    measurement). r=2 crushes the noise floor to ~b*s² while b recovers
+    the recall at the threshold: s_min=0.4, miss 1%, r=2 -> 27 bands.
+    Spark ML's MinHashLSH is r=1-only, which is exactly why it was
+    retired here."""
+    if not 0.0 < min_similarity < 1.0:
+        return 1
+    p_band = min_similarity ** rows_per_band
+    return max(1, math.ceil(math.log(target_miss) / math.log(1.0 - p_band)))
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    grams_col: str,
+    num_tables: int,
+    rows_per_band: int = 1,
+) -> DataFrame:
     """(id, band, h): one row per document per table, h = that table's
     min-hash over the gram set. Signature hashing is per-row array
     transforms in codegen; the only data movement is a defensive
@@ -59,15 +88,46 @@ def minhash_bands(df: DataFrame, id_col: str, grams_col: str, num_tables: int) -
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)
 
-    def table_sig(i: int):
-        # closure factory, NOT a 2-arg transform lambda: the second
-        # lambda arg is the element index (CLAUDE.md trap)
-        suffix = F.lit("|" + str(i))
+    # each md5 digest is 128 bits and a min-hash needs only 60: salt
+    # pair p yields hashes 2p (hex chars 1-15) and 2p+1 (chars 17-31),
+    # halving the digest count. The digest arrays are materialized as
+    # projection columns so both halves share one md5 evaluation.
+    m = num_tables * rows_per_band
+
+    # closure factories, NOT default-arg lambdas: a 2-arg transform
+    # lambda receives the ELEMENT INDEX as its second argument
+    # (CLAUDE.md trap), so loop variables must be closed over here
+    def _digest_expr(p: int):
+        suffix = F.lit("|" + str(p))
+        return F.transform(F.col(grams_col), lambda g: F.md5(F.concat(g, suffix)))
+
+    def _half_min(p: int, pos: int):
         return F.array_min(
-            F.transform(F.col(grams_col), lambda g: hash60(F.concat(g, suffix)))
+            F.transform(
+                F.col(f"_md{p}"),
+                lambda mcol: F.conv(F.substring(mcol, pos, 15), 16, 10).cast("long"),
+            )
         )
 
-    sig = F.array(*[table_sig(i) for i in range(num_tables)])
+    n_digests = (m + 1) // 2
+    df = df.withColumns({f"_md{p}": _digest_expr(p) for p in range(n_digests)})
+
+    def table_sig(j: int):
+        return _half_min(j // 2, 1 if j % 2 == 0 else 17)
+
+    if rows_per_band == 1:
+        sig = F.array(*[table_sig(i) for i in range(num_tables)])
+    else:
+        # AND-OR: band i's key folds rows_per_band consecutive
+        # min-hashes (salts i*r .. i*r+r-1) into one 60-bit value
+        def band_val(i: int):
+            parts = [
+                table_sig(i * rows_per_band + j).cast("string")
+                for j in range(rows_per_band)
+            ]
+            return hash60(F.concat_ws("_", *parts))
+
+        sig = F.array(*[band_val(i) for i in range(num_tables)])
     return df.select(
         F.col(id_col).alias("id"), F.posexplode(sig).alias("band", "h")
     )
@@ -86,14 +146,29 @@ def band_collision_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def minhash_bands_sql(grams_cte: str, num_tables: int) -> str:
+def minhash_bands_sql(
+    grams_cte: str, num_tables: int, rows_per_band: int = 1
+) -> str:
     """DuckDB twin of minhash_bands: `grams_cte` must yield (id, g)
     rows (one row per document per distinct gram). Returns SQL for
     (id, band, h) with h identical to the engine's hash60 values."""
-    return (
-        "SELECT id, t.i AS band,"
-        " min(CAST(('0x' || substr(md5(g || '|' || CAST(t.i AS VARCHAR)), 1, 15))"
+    m = num_tables * rows_per_band
+    # salt pair j//2 yields hash j from hex chars 1-15 (even j) or
+    # 17-31 (odd j) of one digest — mirrors the engine's md5-halving
+    mins = (
+        "SELECT id, t.j AS j,"
+        " min(CAST(('0x' || substr(md5(g || '|' || CAST(t.j // 2 AS VARCHAR)),"
+        " CASE WHEN t.j % 2 = 0 THEN 1 ELSE 17 END, 15))"
         " AS BIGINT)) AS h"
-        f" FROM ({grams_cte}) gr, range(0, {num_tables}) t(i)"
-        " GROUP BY id, t.i"
+        f" FROM ({grams_cte}) gr, range(0, {m}) t(j)"
+        " GROUP BY id, t.j"
+    )
+    if rows_per_band == 1:
+        return f"SELECT id, j AS band, h FROM ({mins}) m"
+    return (
+        f"SELECT id, j // {rows_per_band} AS band,"
+        " CAST(('0x' || substr(md5("
+        "   string_agg(CAST(h AS VARCHAR), '_' ORDER BY j)"
+        " ), 1, 15)) AS BIGINT) AS h"
+        f" FROM ({mins}) m GROUP BY id, j // {rows_per_band}"
     )

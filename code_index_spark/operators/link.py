@@ -31,8 +31,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.minhash import (
     band_collision_pairs,
+    bands_for_recall,
     minhash_bands,
-    tables_for_recall,
 )
 
 
@@ -70,24 +70,34 @@ def candidate_pairs_lsh(
     jaccard_max_dist: float = 0.6,
     num_hash_tables: int | None = None,
     target_miss: float = 0.01,
+    rows_per_band: int = 2,
 ) -> DataFrame:
-    """Minhash-banding blocking self-join over surfaces → candidate
-    pairs with exact gram Jaccard (computed on candidates only).
+    """Minhash AND-OR banding blocking self-join over surfaces →
+    candidate pairs with exact gram Jaccard (computed on candidates
+    only).
 
-    Recall is now SIZED, not guessed (round-3 fix): the number of
-    banding tables defaults to tables_for_recall(1 - jaccard_max_dist,
-    target_miss) — miss probability for a pair at the minimum
-    qualifying similarity s is (1-s)^k, so the default 0.6/0.01 gives
-    k=10 (the previous fixed k=5 measured ~8% missed true pairs at
-    s=0.4, and this path only runs in the >10⁶-surface regime where
-    rescoring cannot recover blocked-out pairs). Measured recall vs the
-    exact gram join: bench/lsh_recall.py → BENCH.md; pytest gates the
-    containment at the cutover shape."""
+    Recall is SIZED, not guessed (round-3 fix): the band count defaults
+    to bands_for_recall(1 - jaccard_max_dist, target_miss, r) — a pair
+    at the minimum qualifying similarity s collides per band with
+    probability s^r, so miss = (1 - s^r)^b, and the default
+    0.6/0.01/r=2 gives b=27 (the previous fixed 5 single-row tables
+    measured ~8% missed true pairs at s=0.4, and this path only runs
+    in the >10⁶-surface regime where rescoring cannot recover
+    blocked-out pairs). r=2 matters as much as b: with r=1, random
+    LOW-similarity pairs collide at rate ~k·s, which at 10⁶ short
+    strings over the ~5·10⁴-value char-3-gram universe produces a
+    quadratic candidate flood (measured: 70M pairs from 72k synthetic
+    surfaces); s² crushes that noise floor while b restores threshold
+    recall. Measured recall + candidate volume vs r/k:
+    bench/lsh_recall.py → BENCH.md; pytest gates containment at the
+    cutover shape."""
     if num_hash_tables is None:
-        num_hash_tables = tables_for_recall(1.0 - jaccard_max_dist, target_miss)
+        num_hash_tables = bands_for_recall(
+            1.0 - jaccard_max_dist, target_miss, rows_per_band
+        )
     bands = minhash_bands(
         surfaces.select(F.col("surface").alias("id"), "grams"),
-        "id", "grams", num_hash_tables,
+        "id", "grams", num_hash_tables, rows_per_band=rows_per_band,
     )
     cands = band_collision_pairs(bands).select(
         F.col("id_a").alias("surface_a"), F.col("id_b").alias("surface_b")
