@@ -857,6 +857,78 @@ def _q_graph_vertices(spark, sf_dir):
     return g["vertices"].select("entity_id", "canonical_name", "mention_count")
 
 
+def _q_graph_vertices_named(spark, sf_dir):
+    """The FULL vertex set (canonicalized entities + literal-object
+    vertices) WITHOUT engine-specific ids: (canonical_name, n_surfaces,
+    mention_count). graph_vertices itself carries xxhash64 ids DuckDB
+    lacks; this named twin makes the complete vertex construction —
+    linking, CC, canonicalization AND the object-vertex aggregation —
+    value-hash checkable."""
+    from code_index_spark.operators.canon import connected_components
+    from code_index_spark.operators.link import link_mentions, mention_surfaces
+    from code_index_spark.operators.materialize import (
+        assign_entities,
+        build_vertices,
+        object_vertices,
+    )
+
+    t = derived_transcripts(spark, sf_dir)
+    triples = extract_triples_sql(t)
+    surfaces = mention_surfaces(triples).localCheckpoint(eager=True)
+    pairs = link_mentions(triples, surfaces=surfaces)
+    comps = connected_components(pairs)
+    em = assign_entities(triples, comps, surfaces=surfaces)
+    allv = build_vertices(em).unionByName(object_vertices(triples))
+    return (
+        allv.select(
+            "canonical_name",
+            F.size("surface_forms").cast("int").alias("n_surfaces"),
+            "mention_count",
+        )
+        # total order over the projected columns: identical rows may
+        # repeat (same literal under two predicates), which is fine for
+        # the value hash as long as the sort is deterministic
+        .orderBy("canonical_name", "mention_count", "n_surfaces")
+    )
+
+
+def _q_windowed_triple_counts(spark, sf_dir):
+    """Streaming↔batch parity surface: the SAME windowed_triple_counts
+    operator the streaming job runs (Structured Streaming's unified
+    model — one code path for both), applied to the batch view: per
+    1-day tumbling event-time window, per-predicate triple counts.
+    The streaming pytest suite pins watermark/append-mode semantics;
+    this row value-hash-checks the window math against a DuckDB
+    date-bucket group-by."""
+    from code_index_spark.streaming.windowed import windowed_triple_counts
+
+    t = derived_transcripts(spark, sf_dir)
+    counts = windowed_triple_counts(
+        t, window_duration="1 day", watermark_delay="0 seconds"
+    )
+    return counts.select(
+        F.col("window_start").cast("date").cast("string").alias("day"),
+        "pred",
+        "n_triples",
+    ).orderBy("day", "pred")
+
+
+def _q_ivf_topk(spark, sf_dir):
+    """IVF ANN: seeded-KMeans coarse quantization, probe the 2 nearest
+    cells, exact cosine rescore (the engine's best ANN story —
+    reference analogue: Qdrant's tunable-accuracy search,
+    vector_store.py:469-528). Deterministic given the fixed seed, but
+    KMeans has no SQL form, so this is a rows-only driver row; recall
+    vs brute force is pytest-gated (tests/test_training_ops.py)."""
+    from code_index_spark.operators.simsearch import build_ivf_index, ivf_topk
+
+    tbl = load_tables(spark, sf_dir)
+    emb = tbl["embeddings"].withColumn("v", F.col("embedding").cast("array<double>"))
+    indexed, centroids = build_ivf_index(emb, "vec_id", "v", n_cells=8, seed=42)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["v"]]
+    return ivf_topk(indexed, centroids, qvec, k=10, n_probe=2)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -892,7 +964,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kv_section_stats": _q_kv_section_stats,
         "entity_linking": _q_entity_linking,
         "graph_vertices": _q_graph_vertices,
+        "graph_vertices_named": _q_graph_vertices_named,
         "graph_entities_named": _q_graph_entities_named,
+        "windowed_triple_counts": _q_windowed_triple_counts,
         "comention_degree": _q_comention_degree,
         "pagerank_mentions": _q_pagerank_mentions,
         "catalog_stats": _q_catalog_stats,
@@ -918,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "lsh_bucketed_topk": _q_lsh_bucketed_topk,
+        "ivf_topk": _q_ivf_topk,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dup_pairs_blocked": _q_embedding_dup_pairs_blocked,
         "lang_id_docs": _q_lang_id_docs,
@@ -1153,11 +1228,12 @@ def _entity_linking_oracle() -> str:
     )
 
 
-def _graph_entities_oracle() -> str:
-    """Canonicalized entity vertices: connected components of the
+def _entity_vertices_ctes() -> str:
+    """Shared CTE chain ending in `ranked`: connected components of the
     linked-pair graph via a recursive transitive-closure CTE (min-id
-    labels, exactly the engine's union-find/star-loop semantics),
-    canonical name = most-mentioned surface, ties lexicographic."""
+    labels, exactly the engine's union-find/star-loop semantics) with
+    per-surface mention counts and the canonical-name rank (most
+    mentioned, ties lexicographic)."""
     from code_index_spark.oracle import class_mentions_sql
 
     return (
@@ -1175,11 +1251,56 @@ def _graph_entities_oracle() -> str:
         ", em AS (SELECT m.surface, m.n, COALESCE(c.comp, m.surface) AS comp"
         "   FROM mc m LEFT JOIN comps c ON c.s = m.surface)"
         ", ranked AS (SELECT *, row_number() OVER ("
-        "   PARTITION BY comp ORDER BY n DESC, surface ASC) AS rk FROM em) "
-        "SELECT max(CASE WHEN rk = 1 THEN surface END) AS canonical_name,"
+        "   PARTITION BY comp ORDER BY n DESC, surface ASC) AS rk FROM em)"
+    )
+
+
+def _graph_entities_oracle() -> str:
+    """Canonicalized entity vertices from the shared ranked chain."""
+    return (
+        _entity_vertices_ctes()
+        + " SELECT max(CASE WHEN rk = 1 THEN surface END) AS canonical_name,"
         " CAST(count(*) AS INT) AS n_surfaces,"
         " CAST(sum(n) AS BIGINT) AS mention_count "
         "FROM ranked GROUP BY comp ORDER BY canonical_name"
+    )
+
+
+def _graph_vertices_named_oracle() -> str:
+    """Full vertex set: canonicalized entity vertices UNION literal
+    object vertices (one per distinct (pred, obj), pred != 'class' —
+    materialize.object_vertices), names only (no engine hash ids)."""
+    from code_index_spark.oracle import triples_rows_sql
+
+    return (
+        _entity_vertices_ctes()
+        + ", entv AS (SELECT max(CASE WHEN rk = 1 THEN surface END) AS canonical_name,"
+        "   CAST(count(*) AS INT) AS n_surfaces,"
+        "   CAST(sum(n) AS BIGINT) AS mention_count"
+        "   FROM ranked GROUP BY comp)"
+        f", tr AS ({triples_rows_sql()})"
+        ", objv AS (SELECT obj AS canonical_name, CAST(1 AS INT) AS n_surfaces,"
+        "   CAST(count(*) AS BIGINT) AS mention_count"
+        "   FROM tr WHERE pred <> 'class' GROUP BY pred, obj) "
+        "SELECT * FROM (SELECT * FROM entv UNION ALL SELECT * FROM objv) "
+        "ORDER BY canonical_name, mention_count, n_surfaces"
+    )
+
+
+def _windowed_triples_oracle() -> str:
+    """Batch twin of the streaming windowed counts: 1-day tumbling
+    event-time windows are date buckets of the turn timestamp; triple
+    rows joined back to transcripts for ts (the engine threads ts
+    through the Arrow batch instead)."""
+    from code_index_spark.oracle import triples_rows_sql
+
+    return (
+        f"WITH tr AS ({triples_rows_sql()}) "
+        "SELECT CAST(CAST(t.ts AS DATE) AS STRING) AS day, tr.pred,"
+        " CAST(count(*) AS BIGINT) AS n_triples "
+        "FROM tr JOIN transcripts t"
+        " ON t.conv_id = tr.conv_id AND t.turn_idx = tr.turn_idx "
+        "GROUP BY day, tr.pred ORDER BY day, tr.pred"
     )
 
 
@@ -1322,6 +1443,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM runs"
         ),
         "graph_entities_named": ow(_graph_entities_oracle()),
+        "graph_vertices_named": ow(_graph_vertices_named_oracle()),
+        "windowed_triple_counts": ow(_windowed_triples_oracle()),
         "comention_degree": ow(_degree_oracle()),
         "pagerank_mentions": ow(_pagerank_oracle(5, 0.85)),
         "multi_corpus_union": ow(
@@ -1596,7 +1719,10 @@ def oracle_sql() -> dict[str, str]:
         #     the greedy line chunker is inherently sequential per turn;
         #     its kv_section branch IS hash-checked via kv_section_stats;
         #   graph_vertices — output carries xxhash64 entity ids (no
-        #     DuckDB equivalent); the full linking+CC+canonicalization
-        #     pipeline is hash-checked via graph_entities_named;
+        #     DuckDB equivalent); the FULL vertex construction including
+        #     object vertices is hash-checked via graph_vertices_named
+        #     (and the entity subset via graph_entities_named);
+        #   ivf_topk — seeded KMeans has no SQL form; recall vs brute
+        #     force is pytest-gated (test_ivf_topk_recall);
         #   media_features — binary payloads, no SQL form.
     }

@@ -47,7 +47,15 @@ def main() -> None:
                       shuffle_partitions=64)
 
     def tok(tag):
-        return F.substring(F.md5(F.concat(F.lit(tag), F.col("id").cast("string"))), 1, 6)
+        # base36 (not hex) tokens: real identifier vocabularies draw
+        # from the full [a-z0-9] alphabet, whose ~50k char-trigram
+        # universe keeps random-pair jaccard realistic; hex tokens cap
+        # the universe at ~5k and inflate the collision noise floor
+        # ~10x beyond anything a real corpus shows
+        return F.lower(F.conv(
+            F.substring(F.md5(F.concat(F.lit(tag), F.col("id").cast("string"))), 1, 12),
+            16, 36,
+        ))
 
     base = (
         spark.range(n_base)
@@ -111,8 +119,10 @@ def main() -> None:
             surfaces.select(F.col("surface").alias("id"), "grams"),
             "id", "grams", k, rows_per_band=r,
         )
-        raw = band_collision_pairs(bands).localCheckpoint(eager=True)
-        n_raw = raw.count()
+        # count, don't checkpoint: at demo sizes the r=1 raw candidate
+        # set runs to tens of millions of rows and caching it is the
+        # fastest way to OOM the measurement itself
+        n_raw = band_collision_pairs(bands).count()
         cands = candidate_pairs_lsh(
             surfaces, jaccard_max_dist=0.6, num_hash_tables=k, rows_per_band=r
         ).select("surface_a", "surface_b").localCheckpoint(eager=True)
