@@ -183,14 +183,16 @@ def _q_multi_corpus_union(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    """Multimodal plumbing: deterministic synthetic media → image
-    features (decode stubbed; rows-only check — binary payloads have no
-    SQL oracle)."""
+    """Multimodal decode: deterministic synthetic media with REAL
+    24-bit-BMP payloads → ACTUAL pixel decode (struct+numpy, no codec
+    library) with measured width/height/intensity. Rows-only check —
+    binary payloads have no SQL oracle; decode-roundtrip correctness is
+    pytest-gated (tests/test_multimodal_streaming.py)."""
     from code_index_spark.operators.multimodal import image_features, synth_media
 
     media = synth_media(spark, 96)
-    return image_features(media, fake=True).select(
-        "media_id", "n_bytes", "sha256", "mean_intensity"
+    return image_features(media, fake=False).select(
+        "media_id", "n_bytes", "sha256", "width", "height", "mean_intensity"
     ).orderBy("media_id")
 
 
