@@ -1,4 +1,4 @@
-"""Entity linking — MinHash-LSH blocking + TF-IDF cosine rescoring
+"""Entity linking — minhash-banding blocking + TF-IDF cosine rescoring
 (J1/E4 in SURVEY.md §2.5; the Spark-first re-expression of the
 reference's ANN similarity search, vector_store.py:386-530, where a
 query embedding is matched against the corpus under cosine with a
@@ -124,12 +124,13 @@ def linked_pairs_exact(
     the same explode-join computes |∩| (→ exact Jaccard) and Σ wa·wb
     (→ exact TF-IDF cosine) per pair in a single shuffle + aggregation.
 
-    This replaced the MinHashLSH blocking stage for vocabulary-scale
-    inputs after measurement showed (a) LSH's OR-construction at 5
-    tables MISSES ~8% of true pairs at jaccard 0.4, and (b) its fit +
-    self-join costs more than the exact join up to ~10^6 surfaces
-    (distinct-surface tables are vocab-scale even at 10^12 turns).
-    candidate_pairs_lsh remains the blocking stage beyond that size.
+    This replaced minhash blocking for vocabulary-scale inputs after
+    measurement showed (a) the round-2 5-table OR-construction MISSED
+    ~8% of true pairs at jaccard 0.4, and (b) blocking+rescoring costs
+    more than the exact join up to ~10^6 surfaces (distinct-surface
+    tables are vocab-scale even at 10^12 turns). candidate_pairs_lsh
+    (now recall-sized AND-OR banding) remains the blocking stage
+    beyond that size.
     Stop-gram fanout is the scale risk of the exact join: cap with
     functions.skew.frequency_cap on the gram key, and AQE skew-split
     handles the residue."""
@@ -276,8 +277,10 @@ def link_mentions(
 
     Blocking strategy is size-adaptive and measured: up to
     `lsh_above_surfaces` distinct surfaces the fused exact gram join
-    (linked_pairs_exact) is both faster and recall-exact; beyond it the
-    MinHashLSH banding path bounds candidate generation."""
+    (linked_pairs_exact) is both faster and recall-exact; beyond it
+    recall-sized AND-OR minhash banding (candidate_pairs_lsh, measured
+    recall in BENCH.md + pytest containment gate) bounds candidate
+    generation."""
     if surfaces is None:
         surfaces = mention_surfaces(triples).localCheckpoint(eager=True)
     # adaptive shuffle sizing for the pair stages: the distinct-surface

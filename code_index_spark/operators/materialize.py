@@ -113,37 +113,39 @@ def build_edges(triples: DataFrame, entity_map: DataFrame) -> DataFrame:
         | (F.try_element_at(F.col("srt"), i + 2)["node_id"] != x["node_id"]),
     )
     pt = per_turn.select("conv_id", "turn_idx", dedup.alias("eps"))
-    ents_col = F.sort_array(F.filter(F.col("eps"), lambda e: e["pred"] == "class"))
+    # eps is already ascending by (pred, node_id, conf) — a filtered
+    # subsequence stays sorted, so no re-sort for the i<j pair order
+    ents_col = F.filter(F.col("eps"), lambda e: e["pred"] == "class")
     objs_col = F.filter(F.col("eps"), lambda e: e["pred"] != "class")
     pt = pt.select("conv_id", "turn_idx", ents_col.alias("ents"), objs_col.alias("objs"))
-    ent_obj_pairs = F.flatten(
+    # ONE pass over ents emits both edge families per entity: its
+    # ent→obj edges and its co_mention edges to later entities (i < j
+    # over the sorted ents array) — was two full transforms + a concat
+    # of the two result arrays
+    pairs_col = F.flatten(
         F.transform(
             F.col("ents"),
-            lambda e: F.transform(
-                F.col("objs"),
-                lambda o: F.struct(
-                    e["node_id"].alias("src_entity"),
-                    o["pred"].alias("pred"),
-                    o["node_id"].alias("dst_entity"),
-                    (e["conf"] * o["conf"]).alias("weight"),
+            lambda e, i: F.concat(
+                F.transform(
+                    F.col("objs"),
+                    lambda o: F.struct(
+                        e["node_id"].alias("src_entity"),
+                        o["pred"].alias("pred"),
+                        o["node_id"].alias("dst_entity"),
+                        (e["conf"] * o["conf"]).alias("weight"),
+                    ),
                 ),
-            ),
-        )
-    )
-    # unordered entity pairs (i < j over the sorted ents array)
-    co_pairs = F.flatten(
-        F.transform(
-            F.col("ents"),
-            lambda e, i: F.transform(
-                F.slice(
-                    F.col("ents"), i + 2,
-                    F.greatest(F.size(F.col("ents")) - i - 1, F.lit(0)),
-                ),
-                lambda o: F.struct(
-                    e["node_id"].alias("src_entity"),
-                    F.lit("co_mention").alias("pred"),
-                    o["node_id"].alias("dst_entity"),
-                    (e["conf"] * o["conf"]).alias("weight"),
+                F.transform(
+                    F.slice(
+                        F.col("ents"), i + 2,
+                        F.greatest(F.size(F.col("ents")) - i - 1, F.lit(0)),
+                    ),
+                    lambda o: F.struct(
+                        e["node_id"].alias("src_entity"),
+                        F.lit("co_mention").alias("pred"),
+                        o["node_id"].alias("dst_entity"),
+                        (e["conf"] * o["conf"]).alias("weight"),
+                    ),
                 ),
             ),
         )
@@ -151,7 +153,7 @@ def build_edges(triples: DataFrame, entity_map: DataFrame) -> DataFrame:
     edges = pt.select(
         "conv_id",
         "turn_idx",
-        F.explode(F.concat(ent_obj_pairs, co_pairs)).alias("e"),
+        F.explode(pairs_col).alias("e"),
     )
     return edges.select(
         F.col("e.src_entity").alias("src_entity"),

@@ -50,6 +50,63 @@ def test_distinct_entities_do_not_merge(linked):
     assert len(set(reps)) == len(reps), "different entities merged"
 
 
+def test_build_edges_multiset_matches_naive(linked, spark):
+    """The single-shuffle in-array build_edges must produce EXACTLY the
+    edge multiset of the naive relational formulation (dedup-groupBy +
+    two equi-joins) — the invariant every edge-path optimization is
+    baked off against (bit_xor of row hashes, order-insensitive)."""
+    triples, _, _, emap = linked
+
+    def edge_hash(edges):
+        h = F.xxhash64(
+            "src_entity", "pred", "dst_entity", "conv_id", "turn_idx",
+            F.format_number(F.col("weight"), 9),
+        )
+        return edges.select(h.alias("h")).agg(
+            F.expr("bit_xor(h)").alias("x"), F.count("*").alias("n")
+        ).first()
+
+    fast = edge_hash(build_edges(triples, emap))
+
+    keyed = (
+        triples.join(
+            F.broadcast(emap.select(F.col("surface").alias("obj"), "entity_id")),
+            "obj", "left",
+        )
+        .select(
+            "conv_id", "turn_idx", "pred",
+            F.when(F.col("pred") == "class", F.col("entity_id"))
+            .otherwise(F.xxhash64(F.concat_ws(":", "pred", "obj")))
+            .alias("node_id"),
+            "confidence",
+        )
+        .filter(F.col("node_id").isNotNull())
+        .groupBy("conv_id", "turn_idx", "pred", "node_id")
+        .agg(F.max("confidence").alias("conf"))
+    )
+    ents = keyed.filter(F.col("pred") == "class").select(
+        "conv_id", "turn_idx", F.col("node_id").alias("src_entity"),
+        F.col("conf").alias("cw"),
+    )
+    objs = keyed.filter(F.col("pred") != "class")
+    ent_obj = ents.join(objs, ["conv_id", "turn_idx"]).select(
+        "src_entity", "pred", F.col("node_id").alias("dst_entity"),
+        "conv_id", "turn_idx", (F.col("cw") * F.col("conf")).alias("weight"),
+    )
+    b = ents.select(
+        "conv_id", "turn_idx", F.col("src_entity").alias("dst_entity"),
+        F.col("cw").alias("cwb"),
+    )
+    co = ents.join(b, ["conv_id", "turn_idx"]).filter(
+        F.col("src_entity") < F.col("dst_entity")
+    ).select(
+        "src_entity", F.lit("co_mention").alias("pred"), "dst_entity",
+        "conv_id", "turn_idx", (F.col("cw") * F.col("cwb")).alias("weight"),
+    )
+    naive = edge_hash(ent_obj.unionByName(co))
+    assert (fast["n"], fast["x"]) == (naive["n"], naive["x"])
+
+
 def test_lsh_blocking_recall_sized(spark):
     """Recall gate for the >10⁶-surface blocking path (the regime where
     rescoring cannot recover blocked-out pairs): with banding tables
