@@ -121,8 +121,9 @@ def main() -> None:
         )
         # count, don't checkpoint: at demo sizes the r=1 raw candidate
         # set runs to tens of millions of rows and caching it is the
-        # fastest way to OOM the measurement itself
-        n_raw = band_collision_pairs(bands).count()
+        # fastest way to OOM the measurement itself. max_bucket matches
+        # the production candidate_pairs_lsh setting (stop-bucket cap).
+        n_raw = band_collision_pairs(bands, max_bucket=1000).count()
         cands = candidate_pairs_lsh(
             surfaces, jaccard_max_dist=0.6, num_hash_tables=k, rows_per_band=r
         ).select("surface_a", "surface_b").localCheckpoint(eager=True)

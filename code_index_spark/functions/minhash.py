@@ -133,9 +133,30 @@ def minhash_bands(
     )
 
 
-def band_collision_pairs(bands: DataFrame) -> DataFrame:
+def band_collision_pairs(
+    bands: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs sharing >=1 (band, h)
-    bucket — the one shuffle of the blocking stage."""
+    bucket — the one shuffle of the blocking stage.
+
+    max_bucket is stop-bucket removal, the LSH analogue of stop-gram
+    frequency capping (functions.skew.frequency_cap): a bucket of B
+    members emits B(B-1)/2 pairs, so one structurally hot bucket —
+    popular boundary grams winning both band mins — turns the
+    linear-in-bucket-sizes contract quadratic (measured: a 3.5k-member
+    bucket at 240k short surfaces ⇒ a 6M-pair straggler task; ~21k at
+    1.4M ⇒ a 220M-pair task that stalls the stage). A true pair at
+    threshold similarity s collides in ~b·s^r bands in expectation
+    (4+ at the default sizing), so dropping the few hot buckets costs
+    a bounded recall sliver (measured in BENCH.md) while restoring the
+    volume bound. None = no cap (the oracle-checked r=1 document path
+    keeps exact semantics)."""
+    if max_bucket is not None:
+        hot = (
+            bands.groupBy("band", "h").agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket).select("band", "h")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "h"], "left_anti")
     a = bands.select(F.col("id").alias("id_a"), "band", "h")
     b = bands.select(F.col("id").alias("id_b"), "band", "h")
     return (

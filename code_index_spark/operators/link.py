@@ -71,6 +71,7 @@ def candidate_pairs_lsh(
     num_hash_tables: int | None = None,
     target_miss: float = 0.01,
     rows_per_band: int = 2,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Minhash AND-OR banding blocking self-join over surfaces →
     candidate pairs with exact gram Jaccard (computed on candidates
@@ -90,7 +91,12 @@ def candidate_pairs_lsh(
     surfaces); s² crushes that noise floor while b restores threshold
     recall. Measured recall + candidate volume vs r/k:
     bench/lsh_recall.py → BENCH.md; pytest gates containment at the
-    cutover shape."""
+    cutover shape.
+
+    max_bucket drops structurally hot band buckets (popular boundary
+    grams winning both mins) before pair enumeration — stop-bucket
+    removal; see functions.minhash.band_collision_pairs for the
+    measured straggler it prevents and the recall argument."""
     if num_hash_tables is None:
         num_hash_tables = bands_for_recall(
             1.0 - jaccard_max_dist, target_miss, rows_per_band
@@ -99,7 +105,7 @@ def candidate_pairs_lsh(
         surfaces.select(F.col("surface").alias("id"), "grams"),
         "id", "grams", num_hash_tables, rows_per_band=rows_per_band,
     )
-    cands = band_collision_pairs(bands).select(
+    cands = band_collision_pairs(bands, max_bucket=max_bucket).select(
         F.col("id_a").alias("surface_a"), F.col("id_b").alias("surface_b")
     )
     ga = surfaces.select(F.col("surface").alias("surface_a"), F.col("grams").alias("ga"))
