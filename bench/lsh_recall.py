@@ -110,9 +110,10 @@ def main() -> None:
     # r=1 rows show WHY the OR-only construction fails at this scale
     # (candidate volume) — only runnable at demo sizes, since at the
     # cutover their candidate volume is itself the quadratic failure;
-    # r=2 rows are the production setting
-    configs = ((2, 27), (2, 40)) if n_total > 150_000 else (
-        (1, 5), (1, 10), (2, 27), (2, 40))
+    # r=2 shows the residual noise floor (measured 230M candidates at
+    # 1.44M surfaces); r=3 is the production setting
+    configs = ((2, 27), (3, 70)) if n_total > 150_000 else (
+        (1, 5), (1, 10), (2, 27), (3, 70))
     for r, k in configs:
         t0 = time.perf_counter()
         bands = minhash_bands(

@@ -70,7 +70,7 @@ def candidate_pairs_lsh(
     jaccard_max_dist: float = 0.6,
     num_hash_tables: int | None = None,
     target_miss: float = 0.01,
-    rows_per_band: int = 2,
+    rows_per_band: int = 3,
     max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Minhash AND-OR banding blocking self-join over surfaces →
@@ -81,16 +81,19 @@ def candidate_pairs_lsh(
     to bands_for_recall(1 - jaccard_max_dist, target_miss, r) — a pair
     at the minimum qualifying similarity s collides per band with
     probability s^r, so miss = (1 - s^r)^b, and the default
-    0.6/0.01/r=2 gives b=27 (the previous fixed 5 single-row tables
+    0.6/0.01/r=3 gives b=70 (the previous fixed 5 single-row tables
     measured ~8% missed true pairs at s=0.4, and this path only runs
     in the >10⁶-surface regime where rescoring cannot recover
-    blocked-out pairs). r=2 matters as much as b: with r=1, random
-    LOW-similarity pairs collide at rate ~k·s, which at 10⁶ short
-    strings over the ~5·10⁴-value char-3-gram universe produces a
-    quadratic candidate flood (measured: 70M pairs from 72k synthetic
-    surfaces); s² crushes that noise floor while b restores threshold
-    recall. Measured recall + candidate volume vs r/k:
-    bench/lsh_recall.py → BENCH.md; pytest gates containment at the
+    blocked-out pairs). The AND-width r is sized by MEASUREMENT
+    (bench/lsh_recall.py at 1.44M surfaces): short surfaces (~24
+    grams) over the skewed char-3-gram universe have mean random-pair
+    jaccard s̄≈0.003, so candidate noise ≈ b·s̄^r per pair — r=1
+    floods quadratically (70M pairs from just 72k surfaces), r=2
+    still admits 230M candidates at 1.44M surfaces (measured, recall
+    0.9997), and r=3 cuts the noise floor ~100× for the same 99%
+    threshold-recall bound at 2.6× the hash budget. Hash cost is
+    linear and map-side; candidate volume is the term that breaks at
+    scale, so the trade goes to r=3. pytest gates containment at the
     cutover shape.
 
     max_bucket drops structurally hot band buckets (popular boundary
