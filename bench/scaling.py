@@ -41,7 +41,15 @@ from code_index_spark.operators.extract import extract_triples, extract_triples_
 
 cores = int(sys.argv[1]); sf_dir = sys.argv[2]; trials = int(sys.argv[3])
 mult = int(sys.argv[4]); do_graph = sys.argv[5] == "1"
-spark = get_spark(f"scal{cores}", cores=cores, shuffle_partitions=max(cores * 2, 8))
+# Widths are sized to the DATA and held EQUAL across parallelism levels
+# so the N-vs-4N comparison isolates cores (the cluster discipline:
+# shuffle partitions ~ input_bytes / 128MB, never cores). The first
+# sf1 attempt sized them to cores and the 16-partition level spilled
+# in the 75M-row edge groupBy (282s vs 19s — a width artifact, not a
+# scaling property); it also made 375k-turn tasks whose coarse
+# granularity amplified hypervisor-steal variance.
+width = max(16 * mult, cores * 2)
+spark = get_spark(f"scal{cores}", cores=cores, shuffle_partitions=width)
 t = derived_transcripts(spark, sf_dir)
 if mult > 1:
     # replicate the corpus mult x with distinct conv_ids (same text
@@ -49,7 +57,7 @@ if mult > 1:
     t = (spark.range(mult).crossJoin(t)
          .withColumn("conv_id", F.concat_ws("-", "conv_id", F.col("id")))
          .drop("id"))
-t = t.repartition(cores * 2, "conv_id").persist()
+t = t.repartition(width, "conv_id").persist()
 n = t.count()
 out = {"cores": cores, "n_turns": n}
 for name, fn in (("catalyst", extract_triples_sql), ("python", extract_triples)):
@@ -155,7 +163,7 @@ def main() -> None:
     p.add_argument("--graph", action="store_true")
     a = p.parse_args()
     n, sf_dir, mult, graph = a.n, a.sf_dir, a.mult, a.graph
-    trials = 3 if mult > 1 else 5
+    trials = 5
     lo = run_level(n, sf_dir, trials, mult, graph)
     hi = run_level(4 * n, sf_dir, trials, mult, graph)
     effs = {

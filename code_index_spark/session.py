@@ -44,6 +44,15 @@ def get_spark(
         # --- scan sizing: ~128MB splits as on a production cluster ---
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # throughput GC: at 32 in-JVM task threads the default G1 caps
+        # codegen'd string-heavy stages (measured: catalyst extraction
+        # 64k → 130-140k turns/s at 6M turns with ParallelGC + a large
+        # young gen — allocation-rate-bound, not CPU-bound). On a real
+        # cluster this is spark.executor.extraJavaOptions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseParallelGC -XX:NewRatio=1",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
