@@ -43,9 +43,16 @@ def tables_for_recall(min_similarity: float, target_miss: float = 0.01) -> int:
     Examples: s=0.4, miss 1% -> 10 tables; s=0.5, miss 0.3% -> 9;
     s=0.8, miss 1e-6 -> 9. The previous fixed k=5 missed ~8% of true
     pairs at s=0.4 (measured, CLAUDE.md) — exactly what this sizes away.
+
+    min_similarity outside (0, 1) is a caller misconfiguration (e.g.
+    jaccard_max_dist=1.0 ⇒ s=0): no table count can give a recall
+    guarantee there, so raise instead of silently degrading to k=1.
     """
     if not 0.0 < min_similarity < 1.0:
-        return 1
+        raise ValueError(
+            f"min_similarity must be in (0, 1), got {min_similarity} — "
+            "no band count can guarantee recall at that threshold"
+        )
     return max(1, math.ceil(math.log(target_miss) / math.log(1.0 - min_similarity)))
 
 
@@ -64,7 +71,10 @@ def bands_for_recall(
     Spark ML's MinHashLSH is r=1-only, which is exactly why it was
     retired here."""
     if not 0.0 < min_similarity < 1.0:
-        return 1
+        raise ValueError(
+            f"min_similarity must be in (0, 1), got {min_similarity} — "
+            "no band count can guarantee recall at that threshold"
+        )
     p_band = min_similarity ** rows_per_band
     return max(1, math.ceil(math.log(target_miss) / math.log(1.0 - p_band)))
 
@@ -150,7 +160,17 @@ def band_collision_pairs(
     (4+ at the default sizing), so dropping the few hot buckets costs
     a bounded recall sliver (measured in BENCH.md) while restoring the
     volume bound. None = no cap (the oracle-checked r=1 document path
-    keeps exact semantics)."""
+    keeps exact semantics).
+
+    The bands plan is scanned up to three times here (hot-bucket
+    aggregate + both sides of the self-join); without truncation the
+    expensive md5 signature stage — 105 digests per gram at the
+    r=3/b=70 link setting — recomputes per scan (the CLAUDE.md
+    self-joining-consumer trap, flagged by the round-3 review), so the
+    compact (id, band, h) table is localCheckpoint-ed first. Cost is
+    linear in n·bands rows; on the candidate_pairs_lsh path nothing
+    upstream is checkpointed, so this is the only truncation point."""
+    bands = bands.localCheckpoint(eager=True)
     if max_bucket is not None:
         hot = (
             bands.groupBy("band", "h").agg(F.count("*").alias("n"))

@@ -156,30 +156,49 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image payload to HxWx3 uint8. BMP and P6 PPM decode
-    for REAL (struct + numpy, no codec library). Other formats
-    (PNG/JPEG need a codec not in this container): with fake=True a
-    deterministic hash-derived pseudo-image preserves shape semantics,
-    otherwise a scoped NotImplementedError."""
-    if payload[:2] == b"BM":
-        return decode_bmp(payload)
-    if payload[:2] == b"P6":
-        return decode_ppm(payload)
-    if not fake:
-        raise NotImplementedError(
-            "only BMP/PPM decode without a codec library; "
-            "run with fake=True for the deterministic stand-in"
-        )
+def _fake_image(payload: bytes) -> np.ndarray:
+    """Deterministic hash-derived pseudo-image (shape semantics only)."""
     h = hashlib.sha256(payload).digest()
     rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
     return rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
 
 
-def image_features(media: DataFrame, fake: bool = False) -> DataFrame:
+def decode_image(payload: bytes, fake: bool = True) -> np.ndarray:
+    """Decode an image payload to HxWx3 uint8. BMP and P6 PPM decode
+    for REAL (struct + numpy, no codec library); the magic-byte sniff
+    opts into real decode regardless of `fake`. Other formats
+    (PNG/JPEG need a codec not in this container): with fake=True
+    (the default — the lenient public API) a deterministic
+    hash-derived pseudo-image preserves shape semantics, otherwise a
+    scoped NotImplementedError. A corrupt/truncated payload that
+    merely starts with a known magic falls back to the stand-in too
+    when fake=True instead of failing the whole stage on one row."""
+    try:
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:2] == b"P6":
+            return decode_ppm(payload)
+    except Exception:
+        if not fake:
+            raise
+        return _fake_image(payload)
+    if not fake:
+        raise NotImplementedError(
+            "only BMP/PPM decode without a codec library; "
+            "run with fake=True for the deterministic stand-in"
+        )
+    return _fake_image(payload)
+
+
+def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """(media_id, n_bytes, sha256, width, height, mean_intensity,
     feature[16]) per image — width/height come from the ACTUAL decoded
-    pixels, not metadata.
+    pixels, not metadata. fake=True (the default, kept from the
+    pre-round-3 public API) only governs payloads real decode can't
+    handle — BMP/PPM magic bytes still decode for real, and corrupt
+    rows fall back to the stand-in instead of failing the stage;
+    fake=False is the strict mode that raises on the first
+    undecodable payload.
 
     mapInPandas over binary payloads — one Arrow batch in, compact
     feature rows out; the binary column never survives the stage."""
@@ -218,30 +237,45 @@ def image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
-def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an audio payload to a float64 waveform in [-1, 1].
-    PCM-16 mono WAV decodes for REAL (struct + numpy). Other formats
-    (mp3/ogg need a codec not in this container): fake=True gives the
-    deterministic hash-derived stand-in, else NotImplementedError."""
-    if payload[:4] == b"RIFF":
-        return decode_wav(payload)[0]
-    if not fake:
-        raise NotImplementedError(
-            "only PCM WAV decode without a codec library; "
-            "run with fake=True for the deterministic stand-in"
-        )
+def _fake_audio(payload: bytes) -> np.ndarray:
+    """Deterministic hash-derived pseudo-waveform (shape semantics only)."""
     h = hashlib.sha256(payload).digest()
     rng = np.random.RandomState(int.from_bytes(h[4:8], "big"))
     return rng.uniform(-1.0, 1.0, size=1024)
 
 
-def audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
+def decode_audio(payload: bytes, fake: bool = True) -> np.ndarray:
+    """Decode an audio payload to a float64 waveform in [-1, 1].
+    PCM-16 mono WAV decodes for REAL (struct + numpy); the magic-byte
+    sniff opts into real decode regardless of `fake`. Other formats
+    (mp3/ogg need a codec not in this container): fake=True (default)
+    gives the deterministic hash-derived stand-in — including for
+    corrupt RIFF-headered payloads — else NotImplementedError /
+    the decode error."""
+    try:
+        if payload[:4] == b"RIFF":
+            return decode_wav(payload)[0]
+    except Exception:
+        if not fake:
+            raise
+        return _fake_audio(payload)
+    if not fake:
+        raise NotImplementedError(
+            "only PCM WAV decode without a codec library; "
+            "run with fake=True for the deterministic stand-in"
+        )
+    return _fake_audio(payload)
+
+
+def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """(media_id, n_bytes, sha256, rms, zero_crossings, duration_ms)
     per audio row — the waveform analogue of image_features: compact
     features out, binary never survives the stage, no shuffle.
     duration_ms is MEASURED from the decoded samples/rate for real WAV
     payloads; the metadata column is only the fallback for fake
-    decodes."""
+    decodes. fake=True (default) falls back to the stand-in for
+    undecodable or corrupt payloads instead of failing the stage on
+    one bad row; fake=False raises."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -251,8 +285,14 @@ def audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
                 pdf["duration_ms"].values,
             ):
                 buf = bytes(payload)
-                if buf[:4] == b"RIFF":
-                    wave, rate = decode_wav(buf)
+                wave = rate = None
+                try:
+                    if buf[:4] == b"RIFF":
+                        wave, rate = decode_wav(buf)
+                except Exception:
+                    if not fake:
+                        raise
+                if wave is not None:
                     measured = int(round(len(wave) * 1000.0 / rate))
                 else:
                     wave = decode_audio(buf, fake=fake)

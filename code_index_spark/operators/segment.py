@@ -47,18 +47,24 @@ MIN_KV_RUN = 2
 # block_extractor.py:212-262's 5-line fallback branch).
 FALLBACK_WINDOW_LINES = 5
 
-_KV_ANY = re.compile(r"^[a-z_][a-z0-9_]*=[^\n]+$", re.M)
+# re.ASCII: the SQL twin runs Java/RE2 \s (ASCII-only) — without the
+# flag, Python's Unicode-aware \s classifies a U+00A0/U+2028-only turn
+# 'empty' while SQL says 'prose' (cross-engine parity, see
+# tests/test_cross_engine.py's non-ASCII-whitespace case)
+_KV_ANY = re.compile(r"^[a-z_][a-z0-9_]*=[^\n]+$", re.M | re.ASCII)
+_EMPTY = re.compile(r"\s*", re.ASCII)
 _URL = re.compile(r"https?://")
 
 
 def content_type_py(text: str | None) -> str:
     """Python twin of functions.textfns.content_type — same classes,
-    same order, same regexes — used to route per-turn segmentation
-    inside the Arrow batches (the Spark Column version can't run
-    there). Kept in lockstep with the SQL version; the cross-engine
-    parity test pins both against the same inputs."""
+    same order, same regexes (ASCII \\s, matching Java's default) —
+    used to route per-turn segmentation inside the Arrow batches (the
+    Spark Column version can't run there). Kept in lockstep with the
+    SQL version; the cross-engine parity test pins both against the
+    same inputs, including non-ASCII whitespace."""
     t = text or ""
-    if re.fullmatch(r"\s*", t):
+    if _EMPTY.fullmatch(t):
         return "empty"
     if _KV_ANY.search(t):
         return "kv"

@@ -124,6 +124,17 @@ def test_lsh_blocking_recall_sized(spark):
     )
 
     assert tables_for_recall(0.4, 0.01) == 10
+    # out-of-range thresholds are caller misconfiguration: raise, don't
+    # silently degrade to a single no-guarantee table (round-4 ADVICE)
+    import pytest as _pytest
+
+    from code_index_spark.functions.minhash import bands_for_recall
+
+    for bad in (0.0, 1.0, -0.2, 1.5):
+        with _pytest.raises(ValueError):
+            tables_for_recall(bad, 0.01)
+        with _pytest.raises(ValueError):
+            bands_for_recall(bad, 0.01, 3)
 
     rnd = random.Random(7)
     words = ["alpha", "beta", "gamma", "delta", "handler", "service",

@@ -55,9 +55,11 @@ def test_codec_roundtrips():
     assert rate == 8000 and len(out) == len(wave)
     assert np.abs(out - wave).max() < 1.0 / 32767  # PCM-16 quantization only
 
-    # mp4-ish payloads still refuse without fake (scoped stub)
+    # mp4-ish payloads still refuse in strict mode (scoped stub); the
+    # lenient default returns the deterministic stand-in
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\x00\x00\x00\x18ftypmp42")
+        decode_image(b"\x00\x00\x00\x18ftypmp42", fake=False)
+    assert decode_image(b"\x00\x00\x00\x18ftypmp42").shape == (8, 8, 3)
 
 
 def test_synth_media_payloads_are_real(spark):
@@ -126,10 +128,50 @@ def test_audio_features_plumbing(spark):
         assert 0.0 < r["rms"] < 1.0
         assert r["zero_crossings"] > 0
         assert r["duration_ms"] > 0
-    # decode stub contract: refuses without fake
+    # decode stub contract: strict mode refuses; the lenient default
+    # (fake=True, the public-API default) returns the stand-in
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
-        decode_audio(b"abc")
+        decode_audio(b"abc", fake=False)
+    assert decode_audio(b"abc").shape == (1024,)
+
+
+def test_corrupt_payloads_fall_back_not_fail(spark):
+    """A corrupt/truncated payload that merely starts with a known
+    magic ('BM'/'P6'/'RIFF') must not fail the whole mapInPandas stage
+    when fake=True — it falls back to the deterministic stand-in.
+    Strict mode (fake=False) still raises (round-4 ADVICE fix)."""
+    import pytest as _pytest
+
+    from code_index_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        decode_audio,
+        decode_image,
+        image_features,
+    )
+
+    bad_bmp = b"BM" + b"\x01" * 10          # truncated header
+    bad_wav = b"RIFF\x04\x00\x00\x00WAVE"   # no fmt/data chunks
+    img = decode_image(bad_bmp, fake=True)
+    assert img.shape == (8, 8, 3)
+    assert (img == decode_image(bad_bmp, fake=True)).all()
+    with _pytest.raises(Exception):
+        decode_image(bad_bmp, fake=False)
+    assert decode_audio(bad_wav, fake=True).shape == (1024,)
+    with _pytest.raises(Exception):
+        decode_audio(bad_wav, fake=False)
+    # end to end: one corrupt row among good ones, stage still succeeds
+    media = synth_media(spark, 12)
+    corrupt = spark.createDataFrame(
+        [(1001, "image", bytearray(bad_bmp), "image/bmp", 8, 8, None),
+         (1002, "audio", bytearray(bad_wav), "audio/wav", None, None, 1000)],
+        MEDIA_SCHEMA,
+    )
+    both = media.unionByName(corrupt)
+    img_ids = {r["media_id"] for r in image_features(both, fake=True).collect()}
+    aud_ids = {r["media_id"] for r in audio_features(both, fake=True).collect()}
+    assert 1001 in img_ids and 1002 in aud_ids
 
 
 def test_video_frame_features_two_stage(spark):

@@ -34,12 +34,18 @@ def test_content_type_classes(spark):
         (4, "see https://a.example and https://b.example plus more"),
         (5, "just a plain sentence about results"),
         (6, None),
+        # non-ASCII whitespace: Java/RE2 \s is ASCII-only, so a turn of
+        # NBSP / LINE SEPARATOR chars is NOT 'empty' — the Python twin
+        # must agree (re.ASCII; it silently diverged before round 4)
+        (7, " "),
+        (8, "    "),
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     got = {r["id"]: r["ct"] for r in
            df.select("id", content_type(F.col("text")).alias("ct")).collect()}
     assert got == {0: "empty", 1: "empty", 2: "kv", 3: "code",
-                   4: "url_heavy", 5: "prose", 6: "empty"}
+                   4: "url_heavy", 5: "prose", 6: "empty",
+                   7: "prose", 8: "prose"}
     # the Python twin used inside Arrow segmentation batches must agree
     # with the Column version on every class
     from code_index_spark.operators.segment import content_type_py
