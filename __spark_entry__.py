@@ -564,6 +564,29 @@ def _q_q18_big_orders(spark, sf_dir):
     )
 
 
+def _q_q17_small_qty_revenue(spark, sf_dir):
+    """Q17 shape (round-4 VERDICT #5): correlated scalar subquery in
+    the predicate — lineitems whose quantity is below 0.2× the average
+    quantity of THEIR part, revenue summed per brand. Written as
+    spark.sql with the correlation intact (not hand-decorrelated) so
+    Catalyst's subquery decorrelation (RewriteCorrelatedScalarSubquery
+    → aggregate + join) is the machinery under test; the oracle runs
+    the identical ANSI text in DuckDB. The decorrelated plan is the
+    scale-correct one: one partial-aggregated pass over lineitem for
+    the per-part averages, then a join — never a per-row re-scan."""
+    tbl = load_tables(spark, sf_dir)
+    tbl["lineitem"].createOrReplaceTempView("l17")
+    tbl["part"].createOrReplaceTempView("p17")
+    return spark.sql(
+        "SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,"
+        " count(*) AS n_small "
+        "FROM l17 JOIN p17 ON p_partkey = l_partkey "
+        "WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM l17 i"
+        "                    WHERE i.l_partkey = p17.p_partkey) "
+        "GROUP BY p_brand ORDER BY p_brand"
+    )
+
+
 def _q_q16_brand_suppliers(spark, sf_dir):
     """Q16 shape: distinct-count aggregation over a join."""
     tbl = load_tables(spark, sf_dir)
@@ -814,6 +837,35 @@ def _q_kv_section_stats(spark, sf_dir):
     )
 
 
+def _q_paragraph_stats(spark, sf_dir):
+    """X9 paragraph branch correctness surface (round-4 VERDICT #3):
+    aggregate stats of the typed paragraph segments emitted for
+    prose-classified turns. The oracle re-derives paragraph blocks in
+    DuckDB via gaps-and-islands over non-blank lines (exactly like the
+    kv_section_stats oracle), so the PlainTextParser-analogue branch
+    (operators/segment.py:paragraphs; reference hybrid_parsers.py:63-165)
+    is hash-checked, not just golden-tested. Split parts are aggregated
+    back to their parent block first (parts share the block's
+    start/end lines); per-part content bytes are compared for the
+    unsplit blocks, where part content == block content exactly — the
+    greedy split packing itself stays pytest-gated (lossless property
+    + split metadata goldens)."""
+    t = derived_transcripts(spark, sf_dir)
+    segs = segment(t).filter(F.col("seg_type") == "paragraph")
+    blocks = segs.groupBy("conv_id", "turn_idx", "start_line", "end_line").agg(
+        F.count("*").alias("n_parts"),
+        F.max(F.when(F.col("split_index").isNull(), F.length("content")))
+        .alias("unsplit_len"),
+    )
+    return blocks.agg(
+        F.count("*").alias("n_paragraphs"),
+        F.sum(F.col("end_line") - F.col("start_line") + 1).alias("n_para_lines"),
+        F.countDistinct("conv_id", "turn_idx").alias("n_turns_with_paragraphs"),
+        F.sum(F.when(F.col("n_parts") == 1, 1).otherwise(0)).alias("n_unsplit"),
+        F.sum(F.coalesce("unsplit_len", F.lit(0))).alias("unsplit_chars"),
+    )
+
+
 def _q_segment_search_rank(spark, sf_dir):
     """J4 with score carry: segment-level search hits, split parts
     reassembled in order keeping max(adjusted_score) (rows-only — the
@@ -964,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reassembled_segments": _q_reassembled_segments,
         "segment_search_rank": _q_segment_search_rank,
         "kv_section_stats": _q_kv_section_stats,
+        "paragraph_stats": _q_paragraph_stats,
         "entity_linking": _q_entity_linking,
         "graph_vertices": _q_graph_vertices,
         "graph_vertices_named": _q_graph_vertices_named,
@@ -980,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_custdist": _q_q13_custdist,
         "q18_big_orders": _q_q18_big_orders,
         "q16_brand_suppliers": _q_q16_brand_suppliers,
+        "q17_small_qty_revenue": _q_q17_small_qty_revenue,
         "revenue_rollup": _q_revenue_rollup,
         "top_parts_per_brand": _q_top_parts_per_brand,
         "customers_without_orders": _q_customers_without_orders,
@@ -1444,6 +1498,51 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(chars + n_lines - 1) AS BIGINT) AS total_chars "
             "FROM runs"
         ),
+        "paragraph_stats": ow(
+            # ws = the ASCII whitespace set Python str.strip() removes
+            # on this corpus; prose routing replicates content_type
+            # (same CASE as the turn_content_type oracle); blocks are
+            # gaps-and-islands over non-blank lines; min-chars gate on
+            # the stripped joined block, exactly segment.paragraphs()
+            ", prose AS ("
+            "  SELECT conv_id, turn_idx, text FROM transcripts"
+            "  WHERE CASE WHEN regexp_matches(text, '^\\s*$') THEN 'empty'"
+            "    WHEN regexp_matches(text, '(?m)^[a-z_][a-z0-9_]*=[^\\n]+$') THEN 'kv'"
+            "    WHEN contains(text, '```') THEN 'code'"
+            "    WHEN len(regexp_extract_all(text, 'https?://')) >= 2 THEN 'url_heavy'"
+            "    ELSE 'prose' END = 'prose'"
+            "), lines AS ("
+            "  SELECT conv_id, turn_idx,"
+            "   unnest([{'i': i, 'line': sp[i]} for i in range(1, len(sp) + 1)]) AS r"
+            "  FROM (SELECT conv_id, turn_idx, string_split(text, chr(10)) AS sp"
+            "        FROM prose)"
+            "), nb AS ("
+            "  SELECT conv_id, turn_idx, r.i AS i, r.line AS line FROM lines"
+            "  WHERE trim(r.line, ' ' || chr(9) || chr(10) || chr(13)"
+            "             || chr(11) || chr(12)) <> ''"
+            "), isl AS ("
+            "  SELECT conv_id, turn_idx, i, line,"
+            "   i - row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY i) AS grp"
+            "  FROM nb"
+            "), blocks AS ("
+            "  SELECT conv_id, turn_idx, count(*) AS n_lines,"
+            "   string_agg(line, chr(10) ORDER BY i) AS content"
+            "  FROM isl GROUP BY conv_id, turn_idx, grp"
+            "), kept AS ("
+            "  SELECT * FROM blocks"
+            "  WHERE length(trim(content, ' ' || chr(9) || chr(10) || chr(13)"
+            "               || chr(11) || chr(12))) >= 50"
+            ") "
+            "SELECT CAST(count(*) AS BIGINT) AS n_paragraphs,"
+            " CAST(sum(n_lines) AS BIGINT) AS n_para_lines,"
+            " CAST(count(DISTINCT conv_id || '#' || turn_idx) AS BIGINT)"
+            "  AS n_turns_with_paragraphs,"
+            " CAST(sum(CASE WHEN length(content) <= 1000 THEN 1 ELSE 0 END)"
+            "  AS BIGINT) AS n_unsplit,"
+            " CAST(sum(CASE WHEN length(content) <= 1000 THEN length(content)"
+            "  ELSE 0 END) AS BIGINT) AS unsplit_chars "
+            "FROM kept"
+        ),
         "graph_entities_named": ow(_graph_entities_oracle()),
         "graph_vertices_named": ow(_graph_vertices_named_oracle()),
         "windowed_triple_counts": ow(_windowed_triples_oracle()),
@@ -1606,6 +1705,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt "
             "FROM part JOIN lineitem ON p_partkey = l_partkey "
             "GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand ASC"
+        ),
+        "q17_small_qty_revenue": (
+            # identical correlated text as the Spark side (modulo view
+            # names) — DuckDB decorrelates it with its own rewriter
+            "SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,"
+            " count(*) AS n_small "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem i"
+            "                    WHERE i.l_partkey = part.p_partkey) "
+            "GROUP BY p_brand ORDER BY p_brand"
         ),
         "revenue_rollup": (
             "SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,"

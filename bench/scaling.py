@@ -74,7 +74,8 @@ if do_graph:
     from code_index_spark.operators.canon import connected_components
     from code_index_spark.operators.link import link_mentions, mention_surfaces
     from code_index_spark.operators.materialize import (
-        assign_entities, build_edges, build_vertices, object_vertices)
+        assign_entities, build_edges, build_edges_agg, build_vertices,
+        object_vertices)
     triples = extract_triples_sql(t).persist()
     triples.count()
     g = {}
@@ -96,8 +97,16 @@ if do_graph:
     t0 = time.perf_counter()
     n_edges = build_edges(triples, em).count()
     g["edges"] = round(time.perf_counter() - t0, 2)
-    g["total"] = round(sum(g.values()), 2)
+    # weighted rollup consumer: duplicate (src,pred,dst) edges combine
+    # in the map-side partial agg BEFORE the wire (round-4 VERDICT #2)
+    t0 = time.perf_counter()
+    n_edges_agg = build_edges_agg(triples, em).count()
+    g["edges_agg"] = round(time.perf_counter() - t0, 2)
+    g["total"] = round(sum(
+        g[k] for k in ("surfaces", "link", "cc", "entities",
+                       "vertices", "edges")), 2)
     g["n_edges"] = n_edges
+    g["n_edges_agg"] = n_edges_agg
     out["graph"] = g
 print(json.dumps(out))
 """
@@ -229,9 +238,13 @@ def main() -> None:
                 + "".join(
                     f"| {k} | {gl[k]} | {gh[k]} |\n"
                     for k in ("surfaces", "link", "cc", "entities",
-                              "vertices", "edges", "total")
+                              "vertices", "edges", "edges_agg", "total")
                 )
-                + f"\n{gl['n_edges']} edges at this scale.\n"
+                + f"\n{gl['n_edges']} provenance-grained edges at this "
+                f"scale, collapsing to {gl.get('n_edges_agg')} distinct "
+                "weighted (src, pred, dst) edges in edges_agg's map-side "
+                "partial aggregation (total excludes edges_agg for "
+                "cross-round comparability).\n"
             )
         _update_bench_md(root, None, section)
 

@@ -165,6 +165,37 @@ def build_edges(triples: DataFrame, entity_map: DataFrame) -> DataFrame:
     )
 
 
+def build_edges_agg(triples: DataFrame, entity_map: DataFrame) -> DataFrame:
+    """Weighted edge rollup — the AGGREGATE consumer of build_edges
+    (round-4 VERDICT #2): (src_entity, pred, dst_entity, weight,
+    n_occurrences) with weight = Σ per-turn weights.
+
+    Why this exists: build_edges keeps (conv_id, turn_idx) provenance,
+    so the same (src, pred, dst) edge repeats once per turn it occurs
+    in — at sf1 that is 132M rows, and any downstream shuffle consumer
+    (degree counts, PageRank, an edge-table write partitioned by src)
+    moves all of them. This rollup makes the duplicate collapse happen
+    in the map-side PARTIAL aggregation of one hash aggregate: the
+    exploded per-turn edges combine to distinct (src, pred, dst)
+    triples per input partition BEFORE the exchange, so the wire
+    carries the vocab-scale distinct-edge set (~10⁵ rows at sf1)
+    instead of the mention-volume multiset (~10⁸). Per-turn provenance
+    consumers keep using build_edges; graph analytics and the
+    materialized edge table consume this.
+
+    Equivalence to the naive aggregation of the naive edge build is
+    pinned by test_build_edges_agg_matches_rollup (weights summed,
+    occurrence counts compared exactly)."""
+    return (
+        build_edges(triples, entity_map)
+        .groupBy("src_entity", "pred", "dst_entity")
+        .agg(
+            F.sum("weight").alias("weight"),
+            F.count("*").alias("n_occurrences"),
+        )
+    )
+
+
 def object_vertices(triples: DataFrame) -> DataFrame:
     """Literal-object vertices (non-class objects), same vertex schema."""
     return (

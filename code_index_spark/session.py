@@ -46,13 +46,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # throughput GC: at 32 in-JVM task threads the default G1 caps
         # codegen'd string-heavy stages (measured: catalyst extraction
-        # 64k → 130-140k turns/s at 6M turns with ParallelGC + a large
-        # young gen — allocation-rate-bound, not CPU-bound). On a real
-        # cluster this is spark.executor.extraJavaOptions.
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:+UseParallelGC -XX:NewRatio=1",
-        )
+        # 64k → 122k+ turns/s at 6M turns under ParallelGC —
+        # allocation-rate-bound, not CPU-bound). Plain ParallelGC, no
+        # NewRatio override: the round-3 -XX:NewRatio=1 (huge young
+        # gen) measured STRICTLY worse in the round-4 bake-off
+        # (bench/gc_bakeoff.py, BENCH.md) — catalyst 7.1→5.8s at sf0.1
+        # and 64.4→49.1s at sf1, and it tripled the Arrow/Python path
+        # at sf0.1 (14.2s vs 4.8s). On a real cluster this is
+        # spark.executor.extraJavaOptions.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -50,24 +50,9 @@ def test_distinct_entities_do_not_merge(linked):
     assert len(set(reps)) == len(reps), "different entities merged"
 
 
-def test_build_edges_multiset_matches_naive(linked, spark):
-    """The single-shuffle in-array build_edges must produce EXACTLY the
-    edge multiset of the naive relational formulation (dedup-groupBy +
-    two equi-joins) — the invariant every edge-path optimization is
-    baked off against (bit_xor of row hashes, order-insensitive)."""
-    triples, _, _, emap = linked
-
-    def edge_hash(edges):
-        h = F.xxhash64(
-            "src_entity", "pred", "dst_entity", "conv_id", "turn_idx",
-            F.format_number(F.col("weight"), 9),
-        )
-        return edges.select(h.alias("h")).agg(
-            F.expr("bit_xor(h)").alias("x"), F.count("*").alias("n")
-        ).first()
-
-    fast = edge_hash(build_edges(triples, emap))
-
+def _naive_edges(triples, emap):
+    """The naive relational edge formulation (dedup-groupBy + two
+    equi-joins) both edge gates compare the optimized paths against."""
     keyed = (
         triples.join(
             F.broadcast(emap.select(F.col("surface").alias("obj"), "entity_id")),
@@ -103,8 +88,60 @@ def test_build_edges_multiset_matches_naive(linked, spark):
         "src_entity", F.lit("co_mention").alias("pred"), "dst_entity",
         "conv_id", "turn_idx", (F.col("cw") * F.col("cwb")).alias("weight"),
     )
-    naive = edge_hash(ent_obj.unionByName(co))
+    return ent_obj.unionByName(co)
+
+
+def test_build_edges_multiset_matches_naive(linked, spark):
+    """The single-shuffle in-array build_edges must produce EXACTLY the
+    edge multiset of the naive relational formulation (dedup-groupBy +
+    two equi-joins) — the invariant every edge-path optimization is
+    baked off against (bit_xor of row hashes, order-insensitive)."""
+    triples, _, _, emap = linked
+
+    def edge_hash(edges):
+        h = F.xxhash64(
+            "src_entity", "pred", "dst_entity", "conv_id", "turn_idx",
+            F.format_number(F.col("weight"), 9),
+        )
+        return edges.select(h.alias("h")).agg(
+            F.expr("bit_xor(h)").alias("x"), F.count("*").alias("n")
+        ).first()
+
+    fast = edge_hash(build_edges(triples, emap))
+    naive = edge_hash(_naive_edges(triples, emap))
     assert (fast["n"], fast["x"]) == (naive["n"], naive["x"])
+
+
+def test_build_edges_agg_matches_rollup(linked, spark):
+    """The map-side-combined weighted edge rollup (build_edges_agg)
+    must equal the aggregation of the NAIVE relational edge build:
+    same distinct-edge set, occurrence counts exact, weights summed
+    (compared at fixed precision — float sum order may differ). The
+    multiset gate above pins per-row equivalence; this adapts it to
+    the weights-summed rollup (round-4 VERDICT #2)."""
+    from code_index_spark.operators.materialize import build_edges_agg
+
+    triples, _, _, emap = linked
+    agg = build_edges_agg(triples, emap)
+    naive = (
+        _naive_edges(triples, emap)
+        .groupBy("src_entity", "pred", "dst_entity")
+        .agg(F.sum("weight").alias("weight"), F.count("*").alias("n_occurrences"))
+    )
+
+    def sig(df):
+        h = F.xxhash64(
+            "src_entity", "pred", "dst_entity", "n_occurrences",
+            F.format_number(F.col("weight"), 4),
+        )
+        return df.select(h.alias("h")).agg(
+            F.expr("bit_xor(h)").alias("x"), F.count("*").alias("n")
+        ).first()
+
+    a, b = sig(agg), sig(naive)
+    assert (a["n"], a["x"]) == (b["n"], b["x"])
+    # the rollup is strictly smaller than the provenance-grained table
+    assert a["n"] < build_edges(triples, emap).count()
 
 
 def test_lsh_blocking_recall_sized(spark):
