@@ -946,6 +946,68 @@ def _q_graph_vertices_named(spark, sf_dir):
     )
 
 
+def _q_edge_rollup_named(spark, sf_dir):
+    """The round-4 weighted edge rollup (materialize.build_edges_agg)
+    WITHOUT engine-specific ids: (src_name, pred, dst_name,
+    n_occurrences, weight) — src is the canonical entity name, dst the
+    co-mentioned entity's canonical name or the literal object text,
+    co_mention pairs canonicalized by name order (the engine orders
+    them by hash id, which DuckDB can't reproduce). Hash-checks the
+    ENTIRE edge path — linking, CC, per-turn endpoint dedup at max
+    confidence, pair emission, map-side-combined rollup — against a
+    DuckDB re-derivation."""
+    from code_index_spark.operators.canon import connected_components
+    from code_index_spark.operators.link import link_mentions, mention_surfaces
+    from code_index_spark.operators.materialize import (
+        assign_entities,
+        build_edges_agg,
+        build_vertices,
+    )
+
+    t = derived_transcripts(spark, sf_dir)
+    triples = extract_triples_sql(t)
+    surfaces = mention_surfaces(triples).localCheckpoint(eager=True)
+    pairs = link_mentions(triples, surfaces=surfaces)
+    comps = connected_components(pairs)
+    em = assign_entities(triples, comps, surfaces=surfaces)
+    rolled = build_edges_agg(triples, em)
+    ent_names = build_vertices(em).select("entity_id", "canonical_name")
+    lit_names = (
+        triples.filter(F.col("pred") != "class")
+        .select(
+            F.xxhash64(F.concat_ws(":", "pred", "obj")).alias("dst_entity"),
+            F.col("obj").alias("lname"),
+        )
+        .distinct()
+    )
+    r = (
+        rolled.join(
+            F.broadcast(ent_names.select(
+                F.col("entity_id").alias("src_entity"),
+                F.col("canonical_name").alias("sname"))),
+            "src_entity",
+        )
+        .join(
+            F.broadcast(ent_names.select(
+                F.col("entity_id").alias("dst_entity"),
+                F.col("canonical_name").alias("dname"))),
+            "dst_entity", "left",
+        )
+        .join(F.broadcast(lit_names), "dst_entity", "left")
+    )
+    dst = F.coalesce("dname", "lname")
+    is_co = F.col("pred") == "co_mention"
+    return r.select(
+        F.when(is_co, F.least(F.col("sname"), dst)).otherwise(F.col("sname"))
+        .alias("src_name"),
+        "pred",
+        F.when(is_co, F.greatest(F.col("sname"), dst)).otherwise(dst)
+        .alias("dst_name"),
+        "n_occurrences",
+        F.round("weight", 4).alias("weight"),
+    ).orderBy("src_name", "pred", "dst_name")
+
+
 def _q_windowed_triple_counts(spark, sf_dir):
     """Streaming↔batch parity surface: the SAME windowed_triple_counts
     operator the streaming job runs (Structured Streaming's unified
@@ -1021,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_vertices": _q_graph_vertices,
         "graph_vertices_named": _q_graph_vertices_named,
         "graph_entities_named": _q_graph_entities_named,
+        "edge_rollup_named": _q_edge_rollup_named,
         "windowed_triple_counts": _q_windowed_triple_counts,
         "comention_degree": _q_comention_degree,
         "pagerank_mentions": _q_pagerank_mentions,
@@ -1343,6 +1406,49 @@ def _graph_vertices_named_oracle() -> str:
     )
 
 
+def _edge_rollup_named_oracle() -> str:
+    """DuckDB twin of build_edges_agg over named endpoints: per-turn
+    endpoint dedup at max confidence (class nodes keyed by COMPONENT —
+    two surfaces of one entity in a turn are one node), entity→object
+    and entity↔entity pair emission, then the (src, pred, dst) rollup
+    with summed weights. Weights rounded to 4 on both sides (float sum
+    order differs across engines)."""
+    from code_index_spark.oracle import triples_rows_sql
+
+    return (
+        _entity_vertices_ctes()
+        + ", canon AS (SELECT comp, max(CASE WHEN rk = 1 THEN surface END)"
+        "   AS cname FROM ranked GROUP BY comp)"
+        ", smap AS (SELECT r.surface, c.cname FROM ranked r"
+        "   JOIN canon c ON c.comp = r.comp)"
+        f", tr AS ({triples_rows_sql()})"
+        ", ke AS (SELECT tr.conv_id, tr.turn_idx, s.cname AS node,"
+        "   max(tr.confidence) AS conf"
+        "   FROM tr JOIN smap s ON s.surface = tr.obj"
+        "   WHERE tr.pred = 'class'"
+        "   GROUP BY tr.conv_id, tr.turn_idx, s.cname)"
+        ", ko AS (SELECT conv_id, turn_idx, pred, obj AS node,"
+        "   max(confidence) AS conf"
+        "   FROM tr WHERE pred <> 'class'"
+        "   GROUP BY conv_id, turn_idx, pred, obj)"
+        ", eo AS (SELECT e.node AS src_name, o.pred AS pred,"
+        "   o.node AS dst_name, e.conf * o.conf AS w"
+        "   FROM ke e JOIN ko o ON o.conv_id = e.conv_id"
+        "    AND o.turn_idx = e.turn_idx)"
+        ", co AS (SELECT least(a.node, b.node) AS src_name,"
+        "   'co_mention' AS pred, greatest(a.node, b.node) AS dst_name,"
+        "   a.conf * b.conf AS w"
+        "   FROM ke a JOIN ke b ON b.conv_id = a.conv_id"
+        "    AND b.turn_idx = a.turn_idx AND a.node < b.node) "
+        "SELECT src_name, pred, dst_name,"
+        " CAST(count(*) AS BIGINT) AS n_occurrences,"
+        " round(sum(w), 4) AS weight "
+        "FROM (SELECT * FROM eo UNION ALL SELECT * FROM co) "
+        "GROUP BY src_name, pred, dst_name "
+        "ORDER BY src_name, pred, dst_name"
+    )
+
+
 def _windowed_triples_oracle() -> str:
     """Batch twin of the streaming windowed counts: 1-day tumbling
     event-time windows are date buckets of the turn timestamp; triple
@@ -1545,6 +1651,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_entities_named": ow(_graph_entities_oracle()),
         "graph_vertices_named": ow(_graph_vertices_named_oracle()),
+        "edge_rollup_named": ow(_edge_rollup_named_oracle()),
         "windowed_triple_counts": ow(_windowed_triples_oracle()),
         "comention_degree": ow(_degree_oracle()),
         "pagerank_mentions": ow(_pagerank_oracle(5, 0.85)),

@@ -77,7 +77,11 @@ def main() -> None:
         "native engine does not pay, so compare SHAPES and deltas, not "
         "absolute ms against the reference; multi-job queries "
         "(checkpointed linking, KMeans probing) pay the constant per "
-        "internal job.\n\n"
+        "internal job. search_rank / entity_search additionally rebuild "
+        "the corpus-side state (extraction → surfaces → tf-idf weights) "
+        "inside the request because the driver query is self-contained; "
+        "a serving deployment precomputes that index once, leaving only "
+        "the query-side join.\n\n"
         "| query | median ms | min | max | rows |\n|---|---|---|---|---|\n"
         + "".join(
             f"| {n} | {r['median_ms']} | {r['min_ms']} | {r['max_ms']} |"
