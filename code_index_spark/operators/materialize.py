@@ -71,14 +71,23 @@ def build_edges(triples: DataFrame, entity_map: DataFrame) -> DataFrame:
     Plan shape (the scale story): the naive formulation is two
     dropDuplicates + two self/equi-joins on (conv_id, turn_idx) — five
     shuffles of the full triple set. Here the full triple set crosses
-    the wire exactly ONCE: a single groupBy(conv_id, turn_idx) collects
+    the wire AT MOST once: a single groupBy(conv_id, turn_idx) collects
     compact endpoint structs, endpoint dedup (max confidence per
     (pred, node_id)) happens INSIDE the array via sort + fold, and the
     per-turn cross products expand with pure map-side array expressions
-    (transform × flatten × explode). Measured 2-3× faster than the
-    two-shuffle (dedup-groupBy then collect-groupBy) formulation at
-    sf0.1, identical output multiset. Per-turn fanout is bounded
-    (mentions-per-turn is a small constant), so no skew at 10^12 turns."""
+    (transform × flatten × explode). When the input is already hash-
+    partitioned by conv_id (the pipeline's standing discipline — the
+    derived view's row_number window, or any PERSISTED repartition;
+    checkpoints drop the metadata) the groupBy reuses that partitioning
+    and the stage adds ZERO exchanges — nothing crosses the wire at all
+    (asserted: tests/test_plans.py::test_edge_build_reuses_turn_
+    partitioning); its cost is then pure compute (collect + array
+    expansion), which is why its limiting factor in one shared local
+    JVM is memory bandwidth, not shuffle (BENCH.md sf1 notes). Measured
+    2-3× faster than the two-shuffle (dedup-groupBy then collect-
+    groupBy) formulation at sf0.1, identical output multiset. Per-turn
+    fanout is bounded (mentions-per-turn is a small constant), so no
+    skew at 10^12 turns."""
     keyed = (
         triples.join(
             F.broadcast(entity_map.select(F.col("surface").alias("obj"), "entity_id")),

@@ -74,3 +74,51 @@ def test_broadcast_entity_map_in_edges(spark):
     )
     plan = _plan(build_edges(triples, emap))
     assert "BroadcastHashJoin" in plan
+
+
+def test_edge_build_reuses_turn_partitioning(spark):
+    """The edge build's per-turn groupBy must REUSE the pipeline's
+    conv_id hash partitioning (hashpartitioning on a subset of the
+    grouping keys satisfies the clustered distribution), so over
+    conv_id-partitioned cached triples build_edges adds ZERO exchanges
+    — the exploded edge multiset (132M rows at sf1) never crosses the
+    wire — and build_edges_agg adds exactly ONE, the (src, pred, dst)
+    rollup, whose input is already map-side partially combined (95×
+    smaller than the edge multiset at sf1, BENCH.md)."""
+    from code_index_spark.operators.extract import extract_triples_sql
+    from code_index_spark.operators.materialize import build_edges, build_edges_agg
+
+    # persist, NOT localCheckpoint: an InMemoryRelation advertises the
+    # cached plan's hash partitioning to downstream requirements, while
+    # a checkpoint's LogicalRDD drops it (measured: the same groupBy
+    # re-exchanges on (conv_id, turn_idx) over checkpointed input) —
+    # this mirrors bench.py / bench/scaling.py, which persist
+    t = (
+        derived_transcripts(spark, "/root/testdata/sf0.001")
+        .repartition(4, "conv_id")
+        .persist()
+    )
+    t.count()
+    triples = extract_triples_sql(t).persist()
+    triples.count()
+    try:
+        emap = spark.createDataFrame(
+            [("Acme Corp", 5, 1)],
+            "surface string, mention_count long, entity_id long",
+        )
+
+        # the plan string embeds the cached input's own (upstream)
+        # exchanges inside InMemoryRelation — assert on the exchange
+        # KEYS this stage could add, not on a bare count
+        turn_exchange = re.compile(r"Exchange hashpartitioning\(conv_id#\d+, turn_idx")
+        rollup_exchange = re.compile(r"Exchange hashpartitioning\(src_entity#\d+")
+
+        edges_plan = _plan(build_edges(triples, emap))
+        assert not turn_exchange.search(edges_plan)
+        assert not rollup_exchange.search(edges_plan)
+        agg_plan = _plan(build_edges_agg(triples, emap))
+        assert not turn_exchange.search(agg_plan)
+        assert len(rollup_exchange.findall(agg_plan)) >= 1
+        assert "partial_sum" in agg_plan
+    finally:
+        triples.unpersist()
