@@ -587,6 +587,28 @@ def _q_q17_small_qty_revenue(spark, sf_dir):
     )
 
 
+def _q_q22_idle_customers(spark, sf_dir):
+    """Q22 shape: uncorrelated scalar subquery + NOT EXISTS anti-join —
+    above-average-balance customers with no urgent orders, grouped by
+    nation (the urgency predicate keeps the result non-empty on the
+    synthetic data, where nearly every customer has some order).
+    Like Q17 this is submitted as SQL with the subqueries intact so
+    Catalyst's rewrites (scalar-subquery broadcast + anti-join) are
+    what runs; identical text is the DuckDB oracle."""
+    tbl = load_tables(spark, sf_dir)
+    tbl["customer"].createOrReplaceTempView("c22")
+    tbl["orders"].createOrReplaceTempView("o22")
+    return spark.sql(
+        "SELECT c_nationkey, count(*) AS numcust,"
+        " round(sum(c_acctbal), 2) AS totacctbal "
+        "FROM c22 "
+        "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM c22 WHERE c_acctbal > 0)"
+        " AND NOT EXISTS (SELECT 1 FROM o22 WHERE o_custkey = c_custkey"
+        "                 AND o_orderpriority = '1-URGENT') "
+        "GROUP BY c_nationkey ORDER BY c_nationkey"
+    )
+
+
 def _q_q16_brand_suppliers(spark, sf_dir):
     """Q16 shape: distinct-count aggregation over a join."""
     tbl = load_tables(spark, sf_dir)
@@ -653,6 +675,37 @@ def _q_events_daily(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .orderBy("day", "event_type")
     )
+
+
+def _q_events_asof_attribution(spark, sf_dir):
+    """AS-OF join (operators/asof.py): every purchase event matched to
+    the same user's latest click at-or-before it — the point-in-time
+    attribution shape (no future leakage). Spark lacks ASOF JOIN, so
+    the operator is the union-and-carry window composition (one
+    shuffle, no pair explosion); DuckDB HAS a native ASOF JOIN, which
+    makes this oracle a true cross-engine semantics check rather than
+    a same-formula replay. Clicks are pre-deduped per (user, ts) so
+    the match is deterministic in both engines."""
+    from code_index_spark.operators.asof import asof_join
+
+    tbl = load_tables(spark, sf_dir)
+    ev = tbl["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    j = asof_join(purchases, clicks, on="user_id", left_ts="ts", right_ts="ts")
+    return j.select(
+        "purchase_id",
+        "user_id",
+        "click_id_r",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_r"))
+        .cast("long").alias("gap_s"),
+    ).withColumnRenamed("click_id_r", "click_id").orderBy("purchase_id")
 
 
 def _q_events_props_json(spark, sf_dir):
@@ -758,6 +811,27 @@ def _q_embedding_dup_pairs_blocked(spark, sf_dir):
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
+
+
+def _q_curation_summary(spark, sf_dir):
+    """The COMPOSED training-data curation pipeline — the shape a 100 TB
+    corpus actually runs, as one query: exact dedupe → minhash-verified
+    near-dup removal → quality filter → language filter, each doc
+    labeled with the FIRST reason that rejects it (priority exact_dup >
+    near_dup > low_quality > non_en > keep), summarized as (reason,
+    n_docs, n_chars). Deterministic survivor policy: the min-id doc of
+    each duplicate group survives (id_b of a verified pair is removed).
+    Every stage is individually oracled elsewhere (dedup_exact_docs,
+    minhash_dedup_verified, doc_quality, lang_id_docs); this row checks
+    their COMPOSITION — the reason priority, the survivor policy, and
+    the char accounting — against a DuckDB re-derivation. The synthetic
+    documents table happens to contain no byte-identical dups, so the
+    exact_dup branch is additionally exercised on a constructed corpus
+    in tests/test_training_ops.py::test_curation_reason_priority."""
+    from code_index_spark.operators.curate import curation_summary
+
+    tbl = load_tables(spark, sf_dir)
+    return curation_summary(tbl["documents"])
 
 
 def _q_lang_id_docs(spark, sf_dir):
@@ -1097,11 +1171,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_big_orders": _q_q18_big_orders,
         "q16_brand_suppliers": _q_q16_brand_suppliers,
         "q17_small_qty_revenue": _q_q17_small_qty_revenue,
+        "q22_idle_customers": _q_q22_idle_customers,
         "revenue_rollup": _q_revenue_rollup,
         "top_parts_per_brand": _q_top_parts_per_brand,
         "customers_without_orders": _q_customers_without_orders,
         "events_sessionize": _q_events_sessionize,
         "events_daily": _q_events_daily,
+        "events_asof_attribution": _q_events_asof_attribution,
         "events_props_json": _q_events_props_json,
         # training-data ops
         "dedup_exact_docs": _q_dedup_exact_docs,
@@ -1114,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dup_pairs_blocked": _q_embedding_dup_pairs_blocked,
+        "curation_summary": _q_curation_summary,
         "lang_id_docs": _q_lang_id_docs,
         "doc_quality": _q_doc_quality,
         "token_counts": _q_token_counts,
@@ -1173,6 +1250,80 @@ def _minhash_candidates_oracle(num_tables: int) -> str:
         "FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h "
         "AND a.id < b.id ORDER BY id_a, id_b"
     )
+
+
+def _curation_oracle() -> str:
+    """DuckDB twin of the composed curation pipeline: same word-3-gram
+    near-dup pairs as _NGRAM_ORACLE (the minhash-verified engine path
+    equals the exact pairs at target_miss=1e-6 — the standing
+    CORRECTNESS-row recall proof), same quality-score and language
+    CASEs as _QUALITY_ORACLE/_LANG_ORACLE, reason priority replicated
+    as one CASE chain."""
+    score = (
+        "round((CASE WHEN n_words >= 5 AND n_words <= 100000 THEN 0.4 ELSE 0.0 END)"
+        " + (CASE WHEN n_words > 0 AND n_chars * 1.0 / n_words >= 2.0"
+        "      AND n_chars * 1.0 / n_words <= 12.0 THEN 0.3 ELSE 0.0 END)"
+        " + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars"
+        "      ELSE 0.0 END) <= 0.1 THEN 0.1 ELSE 0.0 END)"
+        " + (CASE WHEN stopword_hits > 0 THEN 0.2 ELSE 0.0 END), 2)"
+    )
+    return f"""
+WITH grams AS ({_DOC_GRAMS_CTE}),
+sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM grams a JOIN grams b USING (g)
+  WHERE a.id < b.id GROUP BY 1, 2
+),
+near AS (
+  SELECT DISTINCT id_b AS doc_id FROM inter
+  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8
+),
+ex AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+    FROM documents
+  ) WHERE doc_id <> keep
+),
+qf AS (
+  SELECT doc_id, {score} AS quality_score FROM (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+           len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+           len(list_intersect(
+               list_distinct([lower(w) for w in string_split_regex(trim(text), '\\s+')]),
+               ['the','and','of','to','a','in'])) AS stopword_hits
+    FROM documents)
+),
+lg AS (
+  SELECT doc_id, CASE
+    WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+    WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+    WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+    WHEN h_fr >= h_de THEN 'fr'
+    ELSE 'de' END AS pred_lang
+  FROM (SELECT doc_id,
+               {_lang_hits('en')} AS h_en, {_lang_hits('es')} AS h_es,
+               {_lang_hits('fr')} AS h_fr, {_lang_hits('de')} AS h_de
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
+              FROM documents))
+)
+SELECT reason, count(*) AS n_docs, CAST(sum(doc_chars) AS BIGINT) AS n_chars
+FROM (
+  SELECT d.doc_id, length(d.text) AS doc_chars,
+    CASE WHEN d.doc_id IN (SELECT doc_id FROM ex) THEN 'exact_dup'
+         WHEN d.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+         WHEN f.quality_score < 0.7 THEN 'low_quality'
+         WHEN l.pred_lang <> 'en' THEN 'non_en'
+         ELSE 'keep' END AS reason
+  FROM documents d
+  JOIN qf f USING (doc_id) JOIN lg l USING (doc_id)
+)
+GROUP BY reason ORDER BY reason
+"""
 
 
 def _lang_hits(lang: str) -> str:
@@ -1823,6 +1974,16 @@ def oracle_sql() -> dict[str, str]:
             "                    WHERE i.l_partkey = part.p_partkey) "
             "GROUP BY p_brand ORDER BY p_brand"
         ),
+        "q22_idle_customers": (
+            "SELECT c_nationkey, count(*) AS numcust,"
+            " round(sum(c_acctbal), 2) AS totacctbal "
+            "FROM customer "
+            "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer"
+            "                   WHERE c_acctbal > 0)"
+            " AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey"
+            "                 AND o_orderpriority = '1-URGENT') "
+            "GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
         "revenue_rollup": (
             "SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,"
             " COALESCE(l_linestatus, 'ALL') AS linestatus,"
@@ -1861,6 +2022,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(CAST(ts AS DATE) AS STRING) AS day, event_type,"
             " count(*) AS n, round(sum(value), 2) AS total_value "
             "FROM events GROUP BY day, event_type ORDER BY day, event_type"
+        ),
+        "events_asof_attribution": (
+            # DuckDB's NATIVE ASOF JOIN — a cross-engine semantics
+            # oracle for the union-and-carry Spark implementation
+            "WITH p AS (SELECT event_id AS purchase_id, user_id, ts"
+            "           FROM events WHERE event_type = 'purchase'),"
+            " c AS (SELECT user_id, ts, max(event_id) AS click_id"
+            "       FROM events WHERE event_type = 'click'"
+            "       GROUP BY user_id, ts) "
+            # floor each side before subtracting: Spark unix_timestamp
+            # floors to whole seconds, DuckDB epoch keeps fractions
+            "SELECT p.purchase_id, p.user_id, c.click_id,"
+            " CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS gap_s "
+            "FROM p ASOF LEFT JOIN c"
+            " ON p.user_id = c.user_id AND p.ts >= c.ts "
+            "ORDER BY purchase_id"
         ),
         "events_props_json": (
             "SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,"
@@ -1922,6 +2099,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY id_a, id_b"
         ),
         "simhash_pairs": simhash_pairs_sql(6),
+        "curation_summary": _curation_oracle(),
         "lang_id_docs": _LANG_ORACLE,
         "doc_quality": _QUALITY_ORACLE,
         "token_counts": (

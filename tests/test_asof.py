@@ -1,0 +1,79 @@
+"""asof_join semantics (operators/asof.py): backward match per key,
+tie-at-timestamp inclusion, NULL on no prior match, tolerance cutoff —
+pinned against hand-computed expectations (the driver query
+additionally cross-checks the operator against DuckDB's NATIVE ASOF
+JOIN on 2k rows, oracle `events_asof_attribution`)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from code_index_spark.operators.asof import asof_join
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_asof_backward_match_ties_and_nulls(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts(10), "p1"),   # after clicks at 5 and 9 → 9
+         ("u1", _ts(5), "p2"),    # tie: click AT minute 5 matches
+         ("u1", _ts(1), "p3"),    # before any click → NULL
+         ("u2", _ts(10), "p4"),   # u2 has no clicks at all → NULL
+         ("u3", _ts(7), "p5")],   # u3's only click is later → NULL
+        "user string, ts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(5), "c5"), ("u1", _ts(9), "c9"), ("u1", _ts(12), "c12"),
+         ("u3", _ts(8), "c8")],
+        "user string, ts timestamp, cid string",
+    )
+    out = {
+        r["pid"]: r["cid_r"]
+        for r in asof_join(left, right, on="user", left_ts="ts",
+                           right_ts="ts").collect()
+    }
+    assert out == {"p1": "c9", "p2": "c5", "p3": None, "p4": None, "p5": None}
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts(10), "p1"),   # click 1 min earlier → fresh
+         ("u1", _ts(60), "p2")],  # click 51 min earlier → stale
+        "user string, ts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(9), "c9")], "user string, ts timestamp, cid string"
+    )
+    out = {
+        r["pid"]: (r["cid_r"], r["ts_r"])
+        for r in asof_join(left, right, on="user", left_ts="ts",
+                           right_ts="ts",
+                           tolerance_ms=5 * 60 * 1000).collect()
+    }
+    assert out["p1"] == ("c9", _ts(9))
+    assert out["p2"] == (None, None)
+
+
+def test_asof_plan_is_single_shuffle(spark):
+    """The union-and-carry formulation must stay one exchange (the
+    window's key partitioning) — no join, no pair explosion."""
+    left = spark.range(100).select(
+        (F.col("id") % 7).alias("k"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        F.col("id").alias("pid"),
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 7).alias("k"),
+        F.timestamp_seconds(F.col("id") * 90).alias("ts"),
+        F.col("id").alias("cid"),
+    )
+    plan = asof_join(left, right, on="k", left_ts="ts", right_ts="ts") \
+        ._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Join" not in plan

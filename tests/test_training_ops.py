@@ -304,3 +304,29 @@ def test_fingerprint_deterministic_and_discriminative(spark, docs):
     assert fp[0] == fp[1]
     assert fp[0] != fp[3]
     assert fp[5] == 0
+
+
+def test_curation_reason_priority(spark):
+    """Composed curation labels (operators/curate.py): every reject
+    branch fires on a constructed corpus, priority exact_dup >
+    near_dup > low_quality > non_en > keep, min-id survivor policy.
+    Covers the exact_dup branch the synthetic documents table cannot
+    reach (it has no byte-identical dups)."""
+    from code_index_spark.operators.curate import curation_labels, curation_summary
+
+    good = "the quick brown fox and the lazy dog of the meadow in town"
+    rows = [
+        (0, good),                     # keep
+        (1, good),                     # byte-identical → exact_dup (0 survives)
+        (2, good + " tonight"),        # 3-gram jaccard 11/12 → near_dup
+        (3, "x"),                      # low_quality
+        (4, "el la de el la de uno dos tres cuatro cinco seis"),  # non_en
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    labels = {r["doc_id"]: r["reason"] for r in curation_labels(docs).collect()}
+    assert labels == {0: "keep", 1: "exact_dup", 2: "near_dup",
+                      3: "low_quality", 4: "non_en"}
+    summary = {r["reason"]: (r["n_docs"], r["n_chars"])
+               for r in curation_summary(docs).collect()}
+    assert summary["keep"] == (1, len(good))
+    assert summary["exact_dup"] == (1, len(good))
