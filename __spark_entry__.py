@@ -708,6 +708,36 @@ def _q_events_asof_attribution(spark, sf_dir):
     ).withColumnRenamed("click_id_r", "click_id").orderBy("purchase_id")
 
 
+def _q_events_prior_clicks(spark, sf_dir):
+    """Time-range (interval) join (operators/rangejoin.py): per
+    purchase, how many clicks the same user made in the preceding 30
+    minutes. The engine runs the bucketized EQUI-join formulation
+    (≤2× probe fanout, no nested loop); the oracle is DuckDB's plain
+    non-equi join — same semantics, different algorithm, so the hash
+    match is a cross-engine semantics check like the ASOF row."""
+    from code_index_spark.operators.rangejoin import time_range_join
+
+    tbl = load_tables(spark, sf_dir)
+    ev = tbl["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    j = time_range_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        lower_ms=-30 * 60 * 1000, upper_ms=0,
+    )
+    counts = j.groupBy("purchase_id").agg(F.count("*").alias("n"))
+    return (
+        purchases.join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            F.coalesce("n", F.lit(0)).alias("n_prior_clicks"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
 def _q_events_props_json(spark, sf_dir):
     tbl = load_tables(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("int")
@@ -1178,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_daily": _q_events_daily,
         "events_asof_attribution": _q_events_asof_attribution,
+        "events_prior_clicks": _q_events_prior_clicks,
         "events_props_json": _q_events_props_json,
         # training-data ops
         "dedup_exact_docs": _q_dedup_exact_docs,
@@ -2038,6 +2069,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM p ASOF LEFT JOIN c"
             " ON p.user_id = c.user_id AND p.ts >= c.ts "
             "ORDER BY purchase_id"
+        ),
+        "events_prior_clicks": (
+            # DuckDB's plain non-equi range join — semantics oracle for
+            # the bucketized equi-join formulation
+            "WITH p AS (SELECT event_id AS purchase_id, user_id, ts"
+            "           FROM events WHERE event_type = 'purchase'),"
+            " c AS (SELECT user_id, ts FROM events WHERE event_type = 'click') "
+            "SELECT p.purchase_id, CAST(count(c.ts) AS BIGINT) AS n_prior_clicks "
+            "FROM p LEFT JOIN c ON c.user_id = p.user_id"
+            " AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 1800000"
+            " AND epoch_ms(c.ts) <= epoch_ms(p.ts) "
+            "GROUP BY p.purchase_id ORDER BY purchase_id"
         ),
         "events_props_json": (
             "SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,"

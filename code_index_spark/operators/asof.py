@@ -78,9 +78,14 @@ def asof_join(
         .filter(F.col("__tag") == 1)
     )
     if tolerance_ms is not None:
-        # the left timestamp is the union's __ts on tag=1 rows
+        # the left timestamp is the union's __ts on tag=1 rows; cast
+        # through "timestamp" first — TIMESTAMP_NTZ (what parquet
+        # scans yield) rejects a direct numeric cast in ANSI mode
         fresh = (
-            (F.col("__ts").cast("double") - F.col("__match.__rts").cast("double"))
+            (
+                F.col("__ts").cast("timestamp").cast("double")
+                - F.col("__match.__rts").cast("timestamp").cast("double")
+            )
             * 1000.0
         ) <= float(tolerance_ms)
         out = out.withColumn("__match", F.when(fresh, F.col("__match")))

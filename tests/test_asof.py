@@ -77,3 +77,58 @@ def test_asof_plan_is_single_shuffle(spark):
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "Join" not in plan
+
+
+def test_range_join_semantics(spark):
+    """Bucketized interval join (operators/rangejoin.py): inclusive
+    bounds, bucket-boundary straddling, key isolation — vs a
+    hand-computed expectation. Window = [-10 min, 0]."""
+    from code_index_spark.operators.rangejoin import time_range_join
+
+    left = spark.createDataFrame(
+        [("u1", _ts(20), "p1"), ("u2", _ts(20), "p2")],
+        "user string, ts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(10), "a"),    # exactly at lower bound → included
+         ("u1", _ts(15), "b"),    # inside
+         ("u1", _ts(20), "c"),    # exactly at upper bound → included
+         ("u1", _ts(9), "d"),     # just outside
+         ("u1", _ts(21), "e"),    # future → excluded
+         ("u2", _ts(15), "f")],   # other key
+        "user string, ts timestamp, cid string",
+    )
+    out = time_range_join(
+        left, right, on="user", left_ts="ts", right_ts="ts",
+        lower_ms=-10 * 60 * 1000, upper_ms=0,
+    )
+    got = {(r["pid"], r["cid_r"]) for r in out.collect()}
+    assert got == {("p1", "a"), ("p1", "b"), ("p1", "c"), ("p2", "f")}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        time_range_join(left, right, on="user", left_ts="ts",
+                        right_ts="ts", lower_ms=0, upper_ms=0)
+
+
+def test_range_join_plan_is_equi_join(spark):
+    """The non-equi window must compile to a hash EQUI-join on
+    (key, bucket) — never BroadcastNestedLoop / cartesian."""
+    from code_index_spark.operators.rangejoin import time_range_join
+
+    left = spark.range(2000).select(
+        (F.col("id") % 50).alias("k"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        F.col("id").alias("pid"),
+    )
+    right = spark.range(2000).select(
+        (F.col("id") % 50).alias("k"),
+        F.timestamp_seconds(F.col("id") * 45).alias("ts"),
+        F.col("id").alias("cid"),
+    )
+    plan = time_range_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        lower_ms=-600_000, upper_ms=0,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan  # it IS a join — a hash/sort-merge equi-join
