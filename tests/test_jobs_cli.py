@@ -54,3 +54,26 @@ def test_dedupe_job_cli(spark, tmp_path, capsys):
     assert res["pairs"] >= 1  # the exact dup pair survives rescoring
     got = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(out).collect()}
     assert (0, 1) in got and all(3 not in p for p in got)
+
+
+def test_curate_job_cli(spark, tmp_path, capsys):
+    from jobs import curate_corpus as curate_job
+
+    good = "the quick brown fox and the lazy dog of the meadow in town"
+    docs = spark.createDataFrame(
+        [(0, good), (1, good), (2, good + " tonight"), (3, "x"),
+         (4, "el la de el la de uno dos tres cuatro cinco seis")],
+        "doc_id long, text string",
+    )
+    in_dir = str(tmp_path / "cdocs")
+    docs.write.parquet(in_dir)
+    out, lab = str(tmp_path / "curated"), str(tmp_path / "labels")
+    curate_job.main(["--input", in_dir, "--output", out, "--labels", lab])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["reasons"]["keep"]["n_docs"] == 1
+    assert res["reasons"]["exact_dup"]["n_docs"] == 1
+    surviving = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert surviving == {0}
+    labels = {r["doc_id"]: r["reason"] for r in spark.read.parquet(lab).collect()}
+    assert labels == {0: "keep", 1: "exact_dup", 2: "near_dup",
+                      3: "low_quality", 4: "non_en"}
