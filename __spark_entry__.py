@@ -864,6 +864,16 @@ def _q_curation_summary(spark, sf_dir):
     return curation_summary(tbl["documents"])
 
 
+def _q_curation_labels(spark, sf_dir):
+    """Per-document curation audit rows (doc_id, reason, doc_chars) —
+    the row-level twin of curation_summary, so the reject decision for
+    EVERY document is value-hash checked, not just the aggregate."""
+    from code_index_spark.operators.curate import curation_labels
+
+    tbl = load_tables(spark, sf_dir)
+    return curation_labels(tbl["documents"]).orderBy("doc_id")
+
+
 def _q_lang_id_docs(spark, sf_dir):
     tbl = load_tables(spark, sf_dir)
     return (
@@ -1222,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dup_pairs_blocked": _q_embedding_dup_pairs_blocked,
         "curation_summary": _q_curation_summary,
+        "curation_labels": _q_curation_labels,
         "lang_id_docs": _q_lang_id_docs,
         "doc_quality": _q_doc_quality,
         "token_counts": _q_token_counts,
@@ -1283,13 +1294,22 @@ def _minhash_candidates_oracle(num_tables: int) -> str:
     )
 
 
-def _curation_oracle() -> str:
+def _curation_oracle(per_doc: bool = False) -> str:
     """DuckDB twin of the composed curation pipeline: same word-3-gram
     near-dup pairs as _NGRAM_ORACLE (the minhash-verified engine path
     equals the exact pairs at target_miss=1e-6 — the standing
     CORRECTNESS-row recall proof), same quality-score and language
     CASEs as _QUALITY_ORACLE/_LANG_ORACLE, reason priority replicated
-    as one CASE chain."""
+    as one CASE chain. per_doc=True yields the row-level audit
+    (doc_id, reason, doc_chars) instead of the per-reason summary."""
+    final_select = (
+        "SELECT doc_id, reason, CAST(doc_chars AS INT) AS doc_chars"
+        " FROM labeled ORDER BY doc_id"
+        if per_doc else
+        "SELECT reason, count(*) AS n_docs,"
+        " CAST(sum(doc_chars) AS BIGINT) AS n_chars"
+        " FROM labeled GROUP BY reason ORDER BY reason"
+    )
     score = (
         "round((CASE WHEN n_words >= 5 AND n_words <= 100000 THEN 0.4 ELSE 0.0 END)"
         " + (CASE WHEN n_words > 0 AND n_chars * 1.0 / n_words >= 2.0"
@@ -1342,8 +1362,7 @@ lg AS (
         FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
               FROM documents))
 )
-SELECT reason, count(*) AS n_docs, CAST(sum(doc_chars) AS BIGINT) AS n_chars
-FROM (
+, labeled AS (
   SELECT d.doc_id, length(d.text) AS doc_chars,
     CASE WHEN d.doc_id IN (SELECT doc_id FROM ex) THEN 'exact_dup'
          WHEN d.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
@@ -1353,7 +1372,7 @@ FROM (
   FROM documents d
   JOIN qf f USING (doc_id) JOIN lg l USING (doc_id)
 )
-GROUP BY reason ORDER BY reason
+{final_select}
 """
 
 
@@ -2143,6 +2162,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash_pairs": simhash_pairs_sql(6),
         "curation_summary": _curation_oracle(),
+        "curation_labels": _curation_oracle(per_doc=True),
         "lang_id_docs": _LANG_ORACLE,
         "doc_quality": _QUALITY_ORACLE,
         "token_counts": (
