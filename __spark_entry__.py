@@ -874,6 +874,22 @@ def _q_curation_labels(spark, sf_dir):
     return curation_labels(tbl["documents"]).orderBy("doc_id")
 
 
+def _q_dataset_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test assignment
+    (operators/split.py): per-document split labels — a pure function
+    of (doc_id, salt), reproducible across runs/engines/partitionings
+    (unlike randomSplit), hash-checked row-for-row in DuckDB via the
+    shared md5-60bit hash."""
+    from code_index_spark.operators.split import hash_split
+
+    tbl = load_tables(spark, sf_dir)
+    return (
+        hash_split(tbl["documents"], "doc_id")
+        .select("doc_id", "split", F.length("text").alias("doc_chars"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_lang_id_docs(spark, sf_dir):
     tbl = load_tables(spark, sf_dir)
     return (
@@ -1233,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs_blocked": _q_embedding_dup_pairs_blocked,
         "curation_summary": _q_curation_summary,
         "curation_labels": _q_curation_labels,
+        "dataset_split": _q_dataset_split,
         "lang_id_docs": _q_lang_id_docs,
         "doc_quality": _q_doc_quality,
         "token_counts": _q_token_counts,
@@ -1374,6 +1391,16 @@ lg AS (
 )
 {final_select}
 """
+
+
+def _dataset_split_oracle() -> str:
+    from code_index_spark.operators.split import split_sql_case
+
+    return (
+        f"SELECT doc_id, {split_sql_case('doc_id')} AS split,"
+        " CAST(length(text) AS INT) AS doc_chars"
+        " FROM documents ORDER BY doc_id"
+    )
 
 
 def _lang_hits(lang: str) -> str:
@@ -2163,6 +2190,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": simhash_pairs_sql(6),
         "curation_summary": _curation_oracle(),
         "curation_labels": _curation_oracle(per_doc=True),
+        "dataset_split": _dataset_split_oracle(),
         "lang_id_docs": _LANG_ORACLE,
         "doc_quality": _QUALITY_ORACLE,
         "token_counts": (

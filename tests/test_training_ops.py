@@ -330,3 +330,31 @@ def test_curation_reason_priority(spark):
                for r in curation_summary(docs).collect()}
     assert summary["keep"] == (1, len(good))
     assert summary["exact_dup"] == (1, len(good))
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    """hash_split (operators/split.py): assignment is a pure function
+    of (id, salt) — identical across partitionings and runs (the
+    property randomSplit lacks), fractions honored, salt redraws,
+    malformed fractions rejected."""
+    import pytest as _pytest
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from code_index_spark.operators.split import hash_split
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(df.repartition(13), "doc_id").collect()}
+    assert a == b
+    c = Counter(a.values())
+    assert 0.85 < c["train"] / 2000 < 0.95
+    assert 0.03 < c["val"] / 2000 < 0.07
+    assert 0.03 < c["test"] / 2000 < 0.07
+    redrawn = {r["doc_id"]: r["split"]
+               for r in hash_split(df, "doc_id", salt="v2").collect()}
+    assert redrawn != a  # a new salt is a new draw
+    with _pytest.raises(ValueError):
+        hash_split(df, "doc_id", fractions={"train": 0.5, "val": 0.2})
