@@ -2,14 +2,16 @@
 columns with typed metadata, processed by Arrow-batched `mapInPandas`
 UDFs.
 
-Decode is REAL for the codec-free container formats — BMP (24-bit) and
-PPM (P6) images, PCM-16 mono WAV audio — parsed with struct + numpy
-alone (round 3; reference analogue: Magika-gated typed handling per
-mime, tree_sitter_coordinator.py:159-167). Formats that genuinely need
-a codec library (PNG/JPEG/MP4 — not in this container) raise a scoped
-NotImplementedError unless `fake=True`, in which case a deterministic
-hash-derived stand-in preserves shape semantics so the Spark-side
-plumbing stays testable end to end for those mimes too.
+Decode is REAL for every format the standard library can reach — BMP
+(24-bit) and PPM (P6) via struct+numpy (round 3), PNG (8-bit
+truecolor/truecolor-alpha, full scanline unfiltering, stdlib zlib —
+round 4), PCM-16 mono WAV audio (reference analogue: Magika-gated
+typed handling per mime, tree_sitter_coordinator.py:159-167). Formats
+that genuinely need an external codec (JPEG's DCT, MP4/H.264, MP3 —
+not in this container) raise a scoped NotImplementedError unless
+`fake=True`, in which case a deterministic hash-derived stand-in
+preserves shape semantics so the Spark-side plumbing stays testable
+end to end for those mimes too.
 
 Scale notes: binary payloads dominate row size, so every operator
 projects the binary column as late as possible and emits only compact
@@ -92,6 +94,101 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return data.reshape(h, w, 3).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB → PNG (8-bit truecolor, filter 0 rows, one
+    IDAT). Pure stdlib: zlib for deflate + CRC32."""
+    import zlib
+
+    h, w = img.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → HxWx3 uint8 RGB — REAL decode with stdlib zlib + numpy
+    (no codec library): chunk walk, inflate, and full scanline
+    unfiltering (None/Sub/Up/Average/Paeth). Supports 8-bit truecolor
+    and truecolor+alpha (alpha dropped), non-interlaced — the shapes
+    encoders actually emit; palette/16-bit/interlaced raise a scoped
+    NotImplementedError."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, ctype_, comp, filt, interlace = meta
+    if (depth, comp, filt, interlace) != (8, 0, 0, 0) or ctype_ not in (2, 6):
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced truecolor PNG supported "
+            f"(depth={depth} colortype={ctype_} interlace={interlace})"
+        )
+    bpp = 3 if ctype_ == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:  # None
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the prior pixel — sequential
+            cur = np.zeros(stride, dtype=np.int32)
+            pv = prev.astype(np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = pv[x]
+                c = pv[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter byte {f}")
+                cur[x] = (row[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    img = out.reshape(h, w, bpp)
+    return img[:, :, :3].copy()
+
+
 def encode_wav(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
     """float64 waveform in [-1, 1] → PCM-16 mono RIFF/WAVE bytes."""
     pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2").tobytes()
@@ -130,10 +227,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table with REAL payloads where the container
-    can decode them: images are valid 24-bit BMPs (seeded pixels at the
-    metadata dimensions), audio is valid PCM-16 WAV (seeded noise at
-    the metadata duration), video stays an opaque mp4-mime payload —
-    the one kind that genuinely needs an external codec."""
+    can decode them: images alternate valid 24-bit BMPs and PNGs
+    (seeded pixels at the metadata dimensions), audio is valid PCM-16
+    WAV (seeded noise at the metadata duration), video stays an opaque
+    mp4-mime payload — the one kind that genuinely needs an external
+    codec."""
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
@@ -141,8 +239,11 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         if kind == "image":
             w, h = 64 + (i % 4) * 32, 48 + (i % 3) * 16
             img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
-            rows.append((i, kind, bytearray(encode_bmp(img)),
-                         "image/bmp", w, h, None))
+            if (i // 3) % 2 == 0:
+                payload, mime = encode_bmp(img), "image/bmp"
+            else:
+                payload, mime = encode_png(img), "image/png"
+            rows.append((i, kind, bytearray(payload), mime, w, h, None))
         elif kind == "audio":
             dur_ms = 1000 * (1 + i % 30)
             wave = rng.uniform(-0.8, 0.8, size=WAV_RATE * dur_ms // 1000)
@@ -164,10 +265,11 @@ def _fake_image(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes, fake: bool = True) -> np.ndarray:
-    """Decode an image payload to HxWx3 uint8. BMP and P6 PPM decode
-    for REAL (struct + numpy, no codec library); the magic-byte sniff
-    opts into real decode regardless of `fake`. Other formats
-    (PNG/JPEG need a codec not in this container): with fake=True
+    """Decode an image payload to HxWx3 uint8. BMP, P6 PPM, and PNG
+    decode for REAL (struct + numpy + stdlib zlib, no codec library);
+    the magic-byte sniff opts into real decode regardless of `fake`.
+    Other formats (JPEG needs a DCT codec not in this container): with
+    fake=True
     (the default — the lenient public API) a deterministic
     hash-derived pseudo-image preserves shape semantics, otherwise a
     scoped NotImplementedError. A corrupt/truncated payload that
@@ -178,13 +280,15 @@ def decode_image(payload: bytes, fake: bool = True) -> np.ndarray:
             return decode_bmp(payload)
         if payload[:2] == b"P6":
             return decode_ppm(payload)
+        if payload[:8] == _PNG_SIG:
+            return decode_png(payload)
     except Exception:
         if not fake:
             raise
         return _fake_image(payload)
     if not fake:
         raise NotImplementedError(
-            "only BMP/PPM decode without a codec library; "
+            "only BMP/PPM/PNG decode without a codec library; "
             "run with fake=True for the deterministic stand-in"
         )
     return _fake_image(payload)

@@ -249,3 +249,82 @@ def test_incremental_streaming_extraction(spark, tmp_path):
     convs = {r["conv_id"] for r in
              spark.read.parquet(out_dir).select("conv_id").distinct().collect()}
     assert any(c.startswith("conv-000000") for c in convs)
+
+
+def test_png_codec_real_decode():
+    """PNG decode is REAL (stdlib zlib + numpy, round 4): byte-exact
+    round trip, magic-byte sniff, ALL five scanline filters correctly
+    unfiltered, RGBA alpha dropped, unsupported shapes scoped."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from code_index_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(7, 13, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+    assert np.array_equal(decode_image(encode_png(img)), img)  # sniff
+
+    # hand-build a PNG using every filter type (0..4), one per row,
+    # with a reference filterer (per the PNG spec: predictors use the
+    # RECONSTRUCTED bytes of the current and previous rows)
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    def filt_row(f, row, prev, bpp):
+        out = bytearray()
+        for x in range(len(row)):
+            a = int(row[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((int(row[x]) - pred) & 0xFF)
+        return bytes(out)
+
+    img5 = rng.randint(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    flat = img5.reshape(5, -1)
+    raw = bytearray()
+    prev = np.zeros(18, dtype=np.uint8)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        raw.append(f)
+        raw += filt_row(f, flat[y], prev, 3)
+        prev = flat[y]
+    ihdr = struct.pack(">IIBBBBB", 6, 5, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), img5)
+
+    # RGBA: alpha dropped, RGB preserved
+    rgba = rng.randint(0, 256, size=(4, 3, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(4))
+    ihdr = struct.pack(">IIBBBBB", 3, 4, 8, 6, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), rgba[:, :, :3])
+
+    # 16-bit depth: scoped refusal (strict), stand-in when lenient
+    ihdr16 = struct.pack(">IIBBBBB", 3, 4, 16, 2, 0, 0, 0)
+    png16 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+             + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError):
+        decode_png(png16)
+    assert decode_image(png16, fake=True).shape == (8, 8, 3)
