@@ -122,3 +122,19 @@ def test_edge_build_reuses_turn_partitioning(spark):
         assert "partial_sum" in agg_plan
     finally:
         triples.unpersist()
+
+
+def test_q17_correlated_subquery_decorrelates(spark):
+    """The Q17-class correlated scalar subquery must decorrelate to
+    ONE aggregation pass over lineitem joined back to the facts —
+    lineitem is scanned exactly twice (facts + per-part averages),
+    never re-executed per outer row."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q17_small_qty_revenue"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 3  # lineitem x2 + part x1
+    assert "BroadcastHashJoin" in plan
+    assert "partial_avg" in plan or "avg(" in plan  # the one agg pass
