@@ -144,7 +144,8 @@ def minhash_bands(
 
 
 def band_collision_pairs(
-    bands: DataFrame, max_bucket: int | None = None
+    bands: DataFrame, max_bucket: int | None = None,
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs sharing >=1 (band, h)
     bucket — the one shuffle of the blocking stage.
@@ -166,11 +167,21 @@ def band_collision_pairs(
     aggregate + both sides of the self-join); without truncation the
     expensive md5 signature stage — 105 digests per gram at the
     r=3/b=70 link setting — recomputes per scan (the CLAUDE.md
-    self-joining-consumer trap, flagged by the round-3 review), so the
-    compact (id, band, h) table is localCheckpoint-ed first. Cost is
-    linear in n·bands rows; on the candidate_pairs_lsh path nothing
-    upstream is checkpointed, so this is the only truncation point."""
-    bands = bands.localCheckpoint(eager=True)
+    self-joining-consumer trap, flagged by the round-3 review), so by
+    default the compact (id, band, h) table is localCheckpoint-ed
+    first. Cost is linear in n·bands rows; on the candidate_pairs_lsh
+    path nothing upstream is checkpointed, so that is the intended
+    truncation point. truncate_lineage=False opts out (round-4
+    ADVICE): callers that already materialized the bands' input — e.g.
+    minhash_lsh_pairs checkpoints the shingle table — skip a forced
+    second materialization. Executor-loss caveat: localCheckpoint
+    stores blocks on executors with lineage cut, so on a real cluster
+    a lost executor FAILS the job instead of recomputing; jobs needing
+    fault tolerance through this stage should set reliable
+    checkpointing (sparkContext.setCheckpointDir + .checkpoint()) on
+    the input and pass truncate_lineage=False."""
+    if truncate_lineage:
+        bands = bands.localCheckpoint(eager=True)
     if max_bucket is not None:
         hot = (
             bands.groupBy("band", "h").agg(F.count("*").alias("n"))

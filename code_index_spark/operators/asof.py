@@ -34,6 +34,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _check_reserved(
+    left: DataFrame, right: DataFrame, reserved: tuple[str, ...],
+    on: str, right_ts: str, suffix: str,
+) -> None:
+    """Fail fast on column-name collisions instead of producing
+    ambiguous or silently-wrong output (round-4 ADVICE): inputs may
+    not contain the operator's internal working names, and no left
+    column may equal a suffixed right-column output name."""
+    for df, side in ((left, "left"), (right, "right")):
+        hit = sorted(set(df.columns) & set(reserved))
+        if hit:
+            raise ValueError(
+                f"{side} input uses reserved internal column name(s) "
+                f"{hit}; rename them before the join"
+            )
+    suffixed = {
+        f"{c}{suffix}" for c in right.columns if c != on
+    } | {f"{right_ts}{suffix}"}
+    clash = sorted(set(left.columns) & suffixed)
+    if clash:
+        raise ValueError(
+            f"left column(s) {clash} collide with suffixed right output "
+            f"columns; pass a different suffix= or rename them"
+        )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -47,6 +73,10 @@ def asof_join(
     largest right_ts <= left_ts for the same `on` key (right columns
     suffixed; NULL when no prior right row, or when the match is older
     than tolerance_ms)."""
+    _check_reserved(
+        left, right, ("__ts", "__tag", "__rp", "__match", "__rts"),
+        on, right_ts, suffix,
+    )
     rcols = [c for c in right.columns if c not in (on, right_ts)]
     payload = F.struct(
         F.col(right_ts).alias("__rts"), *[F.col(c) for c in rcols]

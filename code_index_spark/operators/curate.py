@@ -14,9 +14,13 @@ re-derivation.
 
 Scale shape: the doc table crosses the wire only in the two dedup
 stages (hash-groupBy on md5; minhash banding linear in bucket sizes);
-quality and language are per-row codegen; the reject-set joins are
-broadcasts (reject lists ≪ corpus). Reason priority is a CASE chain,
-so adding a stage is one more WHEN.
+quality and language are per-row codegen. The reject-set joins carry
+NO broadcast hint (round-4 ADVICE): reject-list size is
+duplication-rate-dependent — a 30-50% dup-rate crawl corpus makes the
+lists corpus-scale, and a forced broadcast would OOM the driver
+instead of degrading to a shuffle join. AQE picks broadcast when the
+lists actually are small. Reason priority is a CASE chain, so adding a
+stage is one more WHEN.
 """
 
 from __future__ import annotations
@@ -40,7 +44,7 @@ def curation_labels(
     ex = exact_duplicates(docs, "doc_id", "text")
     exact_removed = (
         docs.select(F.md5("text").alias("text_hash"), "doc_id")
-        .join(F.broadcast(ex.select("text_hash", "keep_id")), "text_hash")
+        .join(ex.select("text_hash", "keep_id"), "text_hash")
         .filter(F.col("doc_id") != F.col("keep_id"))
         .select("doc_id")
         .withColumn("r_exact", F.lit(1))
@@ -57,8 +61,8 @@ def curation_labels(
         docs.select("doc_id", F.length("text").alias("doc_chars"))
         .join(feat.select("doc_id", "quality_score"), "doc_id")
         .join(langs.select("doc_id", "pred_lang"), "doc_id")
-        .join(F.broadcast(exact_removed), "doc_id", "left")
-        .join(F.broadcast(near_removed), "doc_id", "left")
+        .join(exact_removed, "doc_id", "left")
+        .join(near_removed, "doc_id", "left")
     )
     reason = (
         F.when(F.col("r_exact") == 1, "exact_dup")

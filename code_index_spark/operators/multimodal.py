@@ -5,13 +5,15 @@ UDFs.
 Decode is REAL for every format the standard library can reach — BMP
 (24-bit) and PPM (P6) via struct+numpy (round 3), PNG (8-bit
 truecolor/truecolor-alpha, full scanline unfiltering, stdlib zlib —
-round 4), PCM-16 mono WAV audio (reference analogue: Magika-gated
-typed handling per mime, tree_sitter_coordinator.py:159-167). Formats
-that genuinely need an external codec (JPEG's DCT, MP4/H.264, MP3 —
-not in this container) raise a scoped NotImplementedError unless
-`fake=True`, in which case a deterministic hash-derived stand-in
-preserves shape semantics so the Spark-side plumbing stays testable
-end to end for those mimes too.
+round 4), baseline JFIF JPEG (Huffman + dequant + IDCT in numpy, 4:4:4
+through 4:2:0, restart markers — round 5, operators/jpeg.py), PCM-16
+mono WAV audio (reference analogue: Magika-gated typed handling per
+mime, tree_sitter_coordinator.py:159-167). Formats that genuinely need
+an external codec (MP4/H.264, MP3 — not in this container) raise a
+scoped NotImplementedError unless `fake=True`, in which case a
+deterministic hash-derived stand-in preserves shape semantics so the
+Spark-side plumbing stays testable end to end for those mimes too;
+the feature operators' `decoded_real` column records which path ran.
 
 Scale notes: binary payloads dominate row size, so every operator
 projects the binary column as late as possible and emits only compact
@@ -25,11 +27,14 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401  (public re-export)
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, mime string, "
@@ -227,11 +232,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table with REAL payloads where the container
-    can decode them: images alternate valid 24-bit BMPs and PNGs
-    (seeded pixels at the metadata dimensions), audio is valid PCM-16
-    WAV (seeded noise at the metadata duration), video stays an opaque
-    mp4-mime payload — the one kind that genuinely needs an external
-    codec."""
+    can decode them: images cycle valid 24-bit BMPs, PNGs, and baseline
+    JPEGs (seeded pixels at the metadata dimensions), audio is valid
+    PCM-16 WAV (seeded noise at the metadata duration), video stays an
+    opaque mp4-mime payload — the one kind that genuinely needs an
+    external codec."""
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
@@ -239,10 +244,13 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         if kind == "image":
             w, h = 64 + (i % 4) * 32, 48 + (i % 3) * 16
             img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
-            if (i // 3) % 2 == 0:
+            fmt = (i // 3) % 3
+            if fmt == 0:
                 payload, mime = encode_bmp(img), "image/bmp"
-            else:
+            elif fmt == 1:
                 payload, mime = encode_png(img), "image/png"
+            else:
+                payload, mime = encode_jpeg(img), "image/jpeg"
             rows.append((i, kind, bytearray(payload), mime, w, h, None))
         elif kind == "audio":
             dur_ms = 1000 * (1 + i % 30)
@@ -264,55 +272,79 @@ def _fake_image(payload: bytes) -> np.ndarray:
     return rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
 
 
-def decode_image(payload: bytes, fake: bool = True) -> np.ndarray:
-    """Decode an image payload to HxWx3 uint8. BMP, P6 PPM, and PNG
-    decode for REAL (struct + numpy + stdlib zlib, no codec library);
-    the magic-byte sniff opts into real decode regardless of `fake`.
-    Other formats (JPEG needs a DCT codec not in this container): with
-    fake=True
-    (the default — the lenient public API) a deterministic
-    hash-derived pseudo-image preserves shape semantics, otherwise a
-    scoped NotImplementedError. A corrupt/truncated payload that
-    merely starts with a known magic falls back to the stand-in too
-    when fake=True instead of failing the whole stage on one row."""
+# the failure classes a corrupt/truncated payload can raise out of the
+# struct+numpy+zlib codecs — anything else is a CODE bug and must
+# propagate even in lenient mode (round-4 ADVICE: a blanket except
+# masked real defects as fake decodes)
+_DECODE_ERRORS = (struct.error, ValueError, zlib.error, EOFError)
+
+
+def _decode_image_checked(
+    payload: bytes, fake: bool = True
+) -> tuple[np.ndarray, bool]:
+    """(pixels, decoded_real): real BMP/PPM/PNG/JPEG decode where the
+    magic bytes match and the payload is well-formed, else — in
+    lenient mode — the deterministic hash-derived stand-in with
+    decoded_real=False, preserving provenance of faked rows."""
     try:
         if payload[:2] == b"BM":
-            return decode_bmp(payload)
+            return decode_bmp(payload), True
         if payload[:2] == b"P6":
-            return decode_ppm(payload)
+            return decode_ppm(payload), True
         if payload[:8] == _PNG_SIG:
-            return decode_png(payload)
-    except Exception:
+            return decode_png(payload), True
+        if payload[:2] == b"\xff\xd8":
+            return decode_jpeg(payload), True
+    except (*_DECODE_ERRORS, NotImplementedError):
+        # NotImplementedError = valid-but-unsupported variant (e.g.
+        # progressive JPEG): lenient mode stands in, strict propagates
         if not fake:
             raise
-        return _fake_image(payload)
+        return _fake_image(payload), False
     if not fake:
         raise NotImplementedError(
-            "only BMP/PPM/PNG decode without a codec library; "
-            "run with fake=True for the deterministic stand-in"
+            "only BMP/PPM/PNG/baseline-JPEG decode without a codec "
+            "library; run with fake=True for the deterministic stand-in"
         )
-    return _fake_image(payload)
+    return _fake_image(payload), False
+
+
+def decode_image(payload: bytes, fake: bool = True) -> np.ndarray:
+    """Decode an image payload to HxWx3 uint8. BMP, P6 PPM, PNG, and
+    baseline JFIF JPEG decode for REAL (struct + numpy + stdlib zlib,
+    no codec library); the magic-byte sniff opts into real decode
+    regardless of `fake`. Other formats: with fake=True (the lenient
+    mode) a deterministic hash-derived pseudo-image preserves shape
+    semantics, otherwise a scoped NotImplementedError. A corrupt or
+    truncated payload that merely starts with a known magic falls back
+    to the stand-in too when fake=True instead of failing the whole
+    stage on one row — callers that need provenance of faked rows use
+    the feature operators' decoded_real column."""
+    return _decode_image_checked(payload, fake=fake)[0]
 
 
 def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """(media_id, n_bytes, sha256, width, height, mean_intensity,
-    feature[16]) per image — width/height come from the ACTUAL decoded
-    pixels, not metadata. fake=True (the default, kept from the
-    pre-round-3 public API) only governs payloads real decode can't
-    handle — BMP/PPM magic bytes still decode for real, and corrupt
-    rows fall back to the stand-in instead of failing the stage;
-    fake=False is the strict mode that raises on the first
-    undecodable payload.
+    feature[16], decoded_real) per image — width/height come from the
+    ACTUAL decoded pixels, not metadata. fake=True (the lenient mode)
+    only governs payloads real decode can't handle — known magic bytes
+    still decode for real, and corrupt rows fall back to the stand-in
+    instead of failing the stage; `decoded_real` records per row which
+    path ran, so fabricated features are never indistinguishable from
+    real ones (round-4 ADVICE). fake=False is the strict mode that
+    raises on the first undecodable payload.
 
     mapInPandas over binary payloads — one Arrow batch in, compact
     feature rows out; the binary column never survives the stage."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, nbytes, digests, ws, hs, means, feats = [], [], [], [], [], [], []
+            ids, nbytes, digests, ws, hs, means, feats, reals = (
+                [], [], [], [], [], [], [], []
+            )
             for mid, payload in zip(pdf["media_id"].values, pdf["payload"].values):
                 buf = bytes(payload)
-                img = decode_image(buf, fake=fake)
+                img, real = _decode_image_checked(buf, fake=fake)
                 flat = img.astype(np.float64).ravel()
                 ids.append(int(mid))
                 nbytes.append(len(buf))
@@ -323,10 +355,12 @@ def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 # 16-bin intensity histogram as the embedding stand-in
                 hist, _ = np.histogram(flat, bins=16, range=(0, 256))
                 feats.append((hist / max(flat.size, 1)).astype(float).tolist())
+                reals.append(bool(real))
             yield pd.DataFrame(
                 {"media_id": ids, "n_bytes": nbytes, "sha256": digests,
                  "width": ws, "height": hs,
-                 "mean_intensity": means, "feature": feats}
+                 "mean_intensity": means, "feature": feats,
+                 "decoded_real": reals}
             )
 
     return (
@@ -336,7 +370,8 @@ def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
             run,
             schema="media_id long, n_bytes int, sha256 string, "
                    "width int, height int, "
-                   "mean_intensity double, feature array<double>",
+                   "mean_intensity double, feature array<double>, "
+                   "decoded_real boolean",
         )
     )
 
@@ -359,7 +394,7 @@ def decode_audio(payload: bytes, fake: bool = True) -> np.ndarray:
     try:
         if payload[:4] == b"RIFF":
             return decode_wav(payload)[0]
-    except Exception:
+    except _DECODE_ERRORS:
         if not fake:
             raise
         return _fake_audio(payload)
@@ -372,18 +407,22 @@ def decode_audio(payload: bytes, fake: bool = True) -> np.ndarray:
 
 
 def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
-    """(media_id, n_bytes, sha256, rms, zero_crossings, duration_ms)
-    per audio row — the waveform analogue of image_features: compact
-    features out, binary never survives the stage, no shuffle.
-    duration_ms is MEASURED from the decoded samples/rate for real WAV
-    payloads; the metadata column is only the fallback for fake
-    decodes. fake=True (default) falls back to the stand-in for
-    undecodable or corrupt payloads instead of failing the stage on
-    one bad row; fake=False raises."""
+    """(media_id, n_bytes, sha256, rms, zero_crossings, duration_ms,
+    decoded_real) per audio row — the waveform analogue of
+    image_features: compact features out, binary never survives the
+    stage, no shuffle. duration_ms is MEASURED from the decoded
+    samples/rate for real WAV payloads; the metadata column is only
+    the fallback for fake decodes. fake=True (lenient) falls back to
+    the stand-in for undecodable or corrupt payloads instead of
+    failing the stage on one bad row — with decoded_real=False so the
+    fabricated RMS/zero-crossing values stay distinguishable;
+    fake=False raises."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, nbytes, digests, rmss, zcs, durs = [], [], [], [], [], []
+            ids, nbytes, digests, rmss, zcs, durs, reals = (
+                [], [], [], [], [], [], []
+            )
             for mid, payload, dur in zip(
                 pdf["media_id"].values, pdf["payload"].values,
                 pdf["duration_ms"].values,
@@ -393,23 +432,27 @@ def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 try:
                     if buf[:4] == b"RIFF":
                         wave, rate = decode_wav(buf)
-                except Exception:
+                except _DECODE_ERRORS:
                     if not fake:
                         raise
                 if wave is not None:
                     measured = int(round(len(wave) * 1000.0 / rate))
+                    real = True
                 else:
                     wave = decode_audio(buf, fake=fake)
                     measured = int(dur) if dur is not None and not pd.isna(dur) else 0
+                    real = False
                 ids.append(int(mid))
                 nbytes.append(len(buf))
                 digests.append(hashlib.sha256(buf).hexdigest())
                 rmss.append(float(np.sqrt((wave * wave).mean())))
                 zcs.append(int((np.diff(np.signbit(wave)) != 0).sum()))
                 durs.append(measured)
+                reals.append(real)
             yield pd.DataFrame(
                 {"media_id": ids, "n_bytes": nbytes, "sha256": digests,
-                 "rms": rmss, "zero_crossings": zcs, "duration_ms": durs}
+                 "rms": rmss, "zero_crossings": zcs, "duration_ms": durs,
+                 "decoded_real": reals}
             )
 
     return (
@@ -418,7 +461,8 @@ def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
         .mapInPandas(
             run,
             schema="media_id long, n_bytes int, sha256 string, "
-                   "rms double, zero_crossings int, duration_ms int",
+                   "rms double, zero_crossings int, duration_ms int, "
+                   "decoded_real boolean",
         )
     )
 

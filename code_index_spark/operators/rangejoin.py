@@ -38,6 +38,9 @@ def time_range_join(
     right_ts within [left_ts + lower_ms, left_ts + upper_ms]
     (millisecond precision; lower_ms may be negative — "the 30 minutes
     BEFORE" is lower=-1_800_000, upper=0). Right columns suffixed."""
+    from .asof import _check_reserved
+
+    _check_reserved(left, right, ("__bucket",), on, right_ts, suffix)
     if upper_ms <= lower_ms:
         raise ValueError(f"empty window: [{lower_ms}, {upper_ms}] ms")
     width = upper_ms - lower_ms

@@ -23,10 +23,21 @@ Decomposition that makes linking incremental-safe:
   pairs EQUAL to the batch link_mentions over the same corpus — the
   parity pytest pins it.
 
-State layout under `state_dir/`: `surfaces/` (overwrite per batch,
-vocab-scale, materialized before the overwrite so the read never races
-its own rewrite) and `pairs/` (append-only; the view dedupes, so a
-replayed batch cannot double-link — restart-no-dup is pytest-gated).
+State layout under `state_dir/`: `surfaces/v=<batch_id>/` (one
+immutable snapshot per applied batch, vocab-scale) and `pairs/`
+(append-only; the view dedupes, so a replayed batch cannot
+double-link — restart-no-dup is pytest-gated).
+
+Replay safety (round-4 ADVICE): foreachBatch is at-least-once, so a
+batch can re-run after its state writes succeeded but before the
+checkpoint commit. Pair appends are read-time deduped, but the count
+merge is NOT naturally idempotent — so the surfaces snapshot for batch
+N is always derived from the latest snapshot with version < N and
+written to its own `v=N` directory. A replay of batch N re-reads the
+same pre-batch snapshot and rewrites `v=N` with identical content
+instead of double-adding mention_counts onto its own output. Snapshots
+older than the current batch's base are pruned after the write (only
+the last uncommitted batch can ever replay).
 
 At 100 TB: the per-batch join is new-sliver × vocab on the gram key —
 broadcastable sliver, AQE skew-split for stop-grams; state tables stay
@@ -37,6 +48,7 @@ vector_store.py:337-376, re-expressed as streaming state)."""
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -56,6 +68,36 @@ def _read_state(spark: SparkSession, path: str, ddl: str) -> DataFrame:
     ):
         return spark.read.schema(ddl).parquet(path)
     return spark.createDataFrame([], ddl)
+
+
+def _surface_versions(surf_root: str) -> list[int]:
+    """Applied-batch snapshot versions under surfaces/, ascending."""
+    if not os.path.isdir(surf_root):
+        return []
+    out = []
+    for name in os.listdir(surf_root):
+        if name.startswith("v="):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_surfaces(
+    spark: SparkSession, surf_root: str, below: int | None = None
+) -> DataFrame:
+    """Latest surfaces snapshot — optionally the latest with version
+    strictly below `below` (the replay-safe base for applying batch
+    `below`)."""
+    versions = _surface_versions(surf_root)
+    if below is not None:
+        versions = [v for v in versions if v < below]
+    if not versions:
+        return spark.createDataFrame([], _SURFACES_DDL)
+    return _read_state(
+        spark, os.path.join(surf_root, f"v={versions[-1]}"), _SURFACES_DDL
+    )
 
 
 def _new_pairs(
@@ -96,6 +138,65 @@ def _new_pairs(
     )
 
 
+def _apply_batch(
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    min_jaccard: float,
+) -> None:
+    """Apply one micro-batch to the linking state, idempotently: the
+    merge base is the latest surfaces snapshot with version < batch_id,
+    so re-applying the same batch (at-least-once replay after a crash
+    between the state writes and the checkpoint commit) recomputes and
+    rewrites the identical `v=batch_id` snapshot instead of
+    double-adding its mention counts; the pair append may duplicate
+    rows, which the read path dedupes."""
+    surf_root = os.path.join(state_dir, "surfaces")
+    pairs_path = os.path.join(state_dir, "pairs")
+    batch_surf = mention_surfaces(extract_triples_sql(batch_df))
+    old = _read_surfaces(spark, surf_root, below=batch_id)
+    # merge counts; carry norm/grams from whichever side has them
+    merged = (
+        old.select("surface", F.col("mention_count").alias("c_old"),
+                   "norm", "grams")
+        .join(
+            batch_surf.select(
+                "surface", F.col("mention_count").alias("c_new"),
+                F.col("norm").alias("norm_b"), F.col("grams").alias("grams_b"),
+            ),
+            "surface", "full_outer",
+        )
+        .select(
+            "surface",
+            (F.coalesce("c_old", F.lit(0)) + F.coalesce("c_new", F.lit(0)))
+            .alias("mention_count"),
+            F.coalesce("norm", "norm_b").alias("norm"),
+            F.coalesce("grams", "grams_b").alias("grams"),
+        )
+    )
+    # materialize before any state write (the new-surface anti-join and
+    # the pair join both read `old`, which pruning may remove below)
+    merged = merged.localCheckpoint(eager=True)
+    new = batch_surf.join(
+        old.select("surface"), "surface", "left_anti"
+    ).localCheckpoint(eager=True)
+    pairs = _new_pairs(
+        new.select("surface", "grams"),
+        merged.select("surface", "grams"),
+        min_jaccard,
+    )
+    pairs.write.mode("append").parquet(pairs_path)
+    merged.write.mode("overwrite").parquet(
+        os.path.join(surf_root, f"v={batch_id}")
+    )
+    # prune snapshots older than this batch's merge base: only the last
+    # uncommitted batch can replay, and its base is the newest v < id
+    base = [v for v in _surface_versions(surf_root) if v < batch_id]
+    for v in base[:-1]:
+        shutil.rmtree(os.path.join(surf_root, f"v={v}"), ignore_errors=True)
+
+
 def start_incremental_linking(
     spark: SparkSession,
     input_dir: str,
@@ -107,8 +208,6 @@ def start_incremental_linking(
     """Stream transcript parquet appends → incrementally maintained
     (surfaces, candidate pairs) linking state. Returns the
     StreamingQuery; read the result with `linked_pairs_view`."""
-    surf_path = os.path.join(state_dir, "surfaces")
-    pairs_path = os.path.join(state_dir, "pairs")
     stream = (
         spark.readStream.schema(TRANSCRIPTS)
         .option("maxFilesPerTrigger", 8)
@@ -116,39 +215,7 @@ def start_incremental_linking(
     )
 
     def process_batch(batch_df, batch_id: int) -> None:
-        batch_surf = mention_surfaces(extract_triples_sql(batch_df))
-        old = _read_state(spark, surf_path, _SURFACES_DDL)
-        # merge counts; carry norm/grams from whichever side has them
-        merged = (
-            old.select("surface", F.col("mention_count").alias("c_old"),
-                       "norm", "grams")
-            .join(
-                batch_surf.select(
-                    "surface", F.col("mention_count").alias("c_new"),
-                    F.col("norm").alias("norm_b"), F.col("grams").alias("grams_b"),
-                ),
-                "surface", "full_outer",
-            )
-            .select(
-                "surface",
-                (F.coalesce("c_old", F.lit(0)) + F.coalesce("c_new", F.lit(0)))
-                .alias("mention_count"),
-                F.coalesce("norm", "norm_b").alias("norm"),
-                F.coalesce("grams", "grams_b").alias("grams"),
-            )
-        )
-        # materialize BEFORE overwriting the directory the plan reads
-        merged = merged.localCheckpoint(eager=True)
-        new = batch_surf.join(
-            old.select("surface"), "surface", "left_anti"
-        ).localCheckpoint(eager=True)
-        pairs = _new_pairs(
-            new.select("surface", "grams"),
-            merged.select("surface", "grams"),
-            min_jaccard,
-        )
-        pairs.write.mode("append").parquet(pairs_path)
-        merged.write.mode("overwrite").parquet(surf_path)
+        _apply_batch(spark, state_dir, batch_df, batch_id, min_jaccard)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -158,6 +225,12 @@ def start_incremental_linking(
     return writer.start()
 
 
+def surfaces_state_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current merged surface vocabulary (the latest applied-batch
+    snapshot) — the public reader for the versioned surfaces state."""
+    return _read_surfaces(spark, os.path.join(state_dir, "surfaces"))
+
+
 def linked_pairs_view(
     spark: SparkSession, state_dir: str, min_cosine: float = 0.5
 ) -> DataFrame:
@@ -165,8 +238,8 @@ def linked_pairs_view(
     candidates rescored with TF-IDF cosine over the CURRENT vocab —
     identical formula (and, the parity test pins, identical result) to
     the batch link_mentions over the same accumulated corpus."""
-    surfaces = _read_state(
-        spark, os.path.join(state_dir, "surfaces"), _SURFACES_DDL
+    surfaces = _read_surfaces(
+        spark, os.path.join(state_dir, "surfaces")
     ).localCheckpoint(eager=True)
     pairs = _read_state(
         spark, os.path.join(state_dir, "pairs"), _PAIRS_DDL

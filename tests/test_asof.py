@@ -132,3 +132,36 @@ def test_range_join_plan_is_equi_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "Join" in plan  # it IS a join — a hash/sort-merge equi-join
+
+
+def test_reserved_name_collisions_raise(spark):
+    """Inputs using internal working names or colliding with suffixed
+    right outputs fail FAST with a clear error instead of producing
+    ambiguous/silently-wrong columns (round-4 ADVICE)."""
+    import pytest as _pytest
+
+    from code_index_spark.operators.asof import asof_join
+    from code_index_spark.operators.rangejoin import time_range_join
+
+    left = spark.createDataFrame(
+        [("u", 1, 10)], "user string, ts long, x long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    right = spark.createDataFrame(
+        [("u", 1, 20)], "user string, ts long, y long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+
+    with _pytest.raises(ValueError, match="reserved"):
+        asof_join(left.withColumn("__tag", F.lit(1)), right,
+                  on="user", left_ts="ts", right_ts="ts")
+    with _pytest.raises(ValueError, match="suffixed"):
+        # left already has the name the suffixed right ts would get
+        asof_join(left.withColumn("ts_r", F.lit(0)), right,
+                  on="user", left_ts="ts", right_ts="ts")
+    with _pytest.raises(ValueError, match="reserved"):
+        time_range_join(left, right.withColumn("__bucket", F.lit(0)),
+                        on="user", left_ts="ts", right_ts="ts",
+                        lower_ms=-1000, upper_ms=0)
+    with _pytest.raises(ValueError, match="suffixed"):
+        time_range_join(left.withColumn("y_r", F.lit(0)), right,
+                        on="user", left_ts="ts", right_ts="ts",
+                        lower_ms=-1000, upper_ms=0)

@@ -12,8 +12,10 @@ from code_index_spark.operators.extract import extract_triples_sql
 from code_index_spark.operators.link import link_mentions
 from code_index_spark.schema import TRANSCRIPTS
 from code_index_spark.streaming.link_stream import (
+    _apply_batch,
     linked_pairs_view,
     start_incremental_linking,
+    surfaces_state_view,
 )
 
 
@@ -71,7 +73,7 @@ def test_incremental_linking_matches_batch_and_survives_restart(
 
     got = {
         (r["surface"], r["mention_count"])
-        for r in spark.read.parquet(state_dir + "/surfaces")
+        for r in surfaces_state_view(spark, state_dir)
         .select("surface", "mention_count").collect()
     }
     want = {
@@ -80,3 +82,29 @@ def test_incremental_linking_matches_batch_and_survives_restart(
         .select("surface", "mention_count").collect()
     }
     assert got == want
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path, synth_corpus):
+    """at-least-once replay: re-applying the SAME batch id after its
+    state writes already succeeded must not double-merge mention counts
+    (round-4 ADVICE) — the merge base is the pre-batch snapshot, not
+    the batch's own output."""
+    pdf, _ = synth_corpus
+    state_dir = str(tmp_path / "state")
+    full = spark.createDataFrame(pdf, schema=TRANSCRIPTS)
+
+    _apply_batch(spark, state_dir, full, 0, min_jaccard=0.4)
+    first = {
+        (r["surface"], r["mention_count"])
+        for r in surfaces_state_view(spark, state_dir).collect()
+    }
+    view_first = _pairs_set(linked_pairs_view(spark, state_dir))
+
+    # crash-between-write-and-commit: the identical batch replays
+    _apply_batch(spark, state_dir, full, 0, min_jaccard=0.4)
+    replayed = {
+        (r["surface"], r["mention_count"])
+        for r in surfaces_state_view(spark, state_dir).collect()
+    }
+    assert replayed == first  # counts NOT doubled
+    assert _pairs_set(linked_pairs_view(spark, state_dir)) == view_first
