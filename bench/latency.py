@@ -65,6 +65,46 @@ def main() -> None:
         }
         print(json.dumps({"query": name, **results[name]}), flush=True)
 
+    # --- indexed serving path (round-4 VERDICT #2): the corpus-side
+    # TF-IDF state is built ONCE per corpus snapshot; a request is a
+    # gram-keyed lookup + small aggregation over that index. This is
+    # the deployment split the reference uses (persistent Qdrant index,
+    # 55.68 ms queries) — measured here as index-build seconds (paid
+    # once) + warm per-request latency over several query strings.
+    from code_index_spark.operators.extract import extract_triples_sql
+    from code_index_spark.operators.link import (
+        build_search_index,
+        search_index_topk,
+    )
+    from code_index_spark.sources.tpch import derived_transcripts
+
+    t0 = time.perf_counter()
+    index = build_search_index(
+        extract_triples_sql(derived_transcripts(spark, sf_dir))
+    )
+    index_build_s = round(time.perf_counter() - t0, 2)
+    qstrings = ["acme corp widget", "merge request", "data pipeline",
+                "alpha beta gamma", "spark shuffle"]
+    search_index_topk(index, qstrings[0]).collect()  # warm
+    secs, n_rows = [], 0
+    for q in qstrings:
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            rows = search_index_topk(index, q, 10).collect()
+            secs.append(time.perf_counter() - t0)
+        n_rows = max(n_rows, len(rows))
+    secs.sort()
+    results["entity_search_indexed (warm index)"] = {
+        "median_ms": round(1000 * statistics.median(secs), 1),
+        "min_ms": round(1000 * secs[0], 1),
+        "max_ms": round(1000 * secs[-1], 1),
+        "n_rows": n_rows,
+    }
+    print(json.dumps({"query": "entity_search_indexed (warm index)",
+                      "index_build_s": index_build_s,
+                      **results["entity_search_indexed (warm index)"]}),
+          flush=True)
+
     section = (
         "## Search-path latency battery "
         f"(sf={sf_dir.rstrip('/').split('/')[-1]}, warm, median of {trials})\n\n"
@@ -80,8 +120,14 @@ def main() -> None:
         "internal job. search_rank / entity_search additionally rebuild "
         "the corpus-side state (extraction → surfaces → tf-idf weights) "
         "inside the request because the driver query is self-contained; "
-        "a serving deployment precomputes that index once, leaving only "
-        "the query-side join.\n\n"
+        "the `entity_search_indexed (warm index)` row is the SERVING "
+        "split that removes exactly that rebuild — "
+        f"link.build_search_index materializes the weighted-gram index "
+        f"once ({index_build_s} s at this sf, paid per corpus snapshot), "
+        "and each request is then a gram-keyed lookup + one small "
+        "aggregation whose cost is independent of corpus size (median "
+        "over 5 query strings x trials; identical results to "
+        "entity_search, pinned by oracle + parity pytest).\n\n"
         "| query | median ms | min | max | rows |\n|---|---|---|---|---|\n"
         + "".join(
             f"| {n} | {r['median_ms']} | {r['min_ms']} | {r['max_ms']} |"

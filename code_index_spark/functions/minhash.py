@@ -146,6 +146,7 @@ def minhash_bands(
 def band_collision_pairs(
     bands: DataFrame, max_bucket: int | None = None,
     truncate_lineage: bool = True,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs sharing >=1 (band, h)
     bucket — the one shuffle of the blocking stage.
@@ -182,6 +183,12 @@ def band_collision_pairs(
     the input and pass truncate_lineage=False."""
     if truncate_lineage:
         bands = bands.localCheckpoint(eager=True)
+    if num_partitions:
+        # plan-local shuffle sizing (no session-conf mutation): one
+        # explicit exchange on the bucket key — the hot-bucket
+        # aggregation and BOTH sides of the collision self-join cluster
+        # on (band, h), so they all reuse this single repartition
+        bands = bands.repartition(num_partitions, "band", "h")
     if max_bucket is not None:
         hot = (
             bands.groupBy("band", "h").agg(F.count("*").alias("n"))

@@ -23,18 +23,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _star_round(edges: DataFrame, large: bool) -> DataFrame:
-    """One large- or small-star round over canonical (u, v) edges."""
+def _star_round(
+    edges: DataFrame, large: bool, num_partitions: int | None = None
+) -> DataFrame:
+    """One large- or small-star round over canonical (u, v) edges.
+
+    num_partitions sizes the round's shuffles PLAN-LOCALLY (round-4
+    ADVICE: mutating spark.sql.shuffle.partitions in try/finally races
+    concurrent queries on a shared session): one explicit
+    repartition(n, u) after the union — the distinct on (u, v), the
+    min-neighbor groupBy(u), and the join on u all cluster on u or a
+    superset, so Catalyst reuses that single exchange for all three —
+    and one repartition(n, u) before the output distinct. Two sized
+    exchanges per round, no session state touched."""
     # neighborhood with self: Γ⁺(u) = Γ(u) ∪ {u}
     und = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    und = und.union(und.select("u", F.col("u").alias("v"))).distinct()
+    und = und.union(und.select("u", F.col("u").alias("v")))
+    if num_partitions:
+        und = und.repartition(num_partitions, "u")
+    und = und.distinct()
     m = und.groupBy("u").agg(F.min("v").alias("m"))
     nbr = und.join(m, "u")
     if large:
         out = nbr.filter(F.col("v") > F.col("u")).select(F.col("v").alias("u"), F.col("m").alias("v"))
     else:
         out = nbr.filter(F.col("v") <= F.col("u")).select(F.col("v").alias("u"), F.col("m").alias("v"))
-    return out.filter(F.col("u") != F.col("v")).distinct()
+    out = out.filter(F.col("u") != F.col("v"))
+    if num_partitions:
+        out = out.repartition(num_partitions, "u")
+    return out.distinct()
 
 
 def connected_components(
@@ -79,14 +96,12 @@ def connected_components(
     if n_edges <= driver_max_edges:
         labels = _driver_union_find(spark, edges)
         return _labels_from_surfaces(labels, pairs)
+    # size the loop's shuffles to the DATA (CLAUDE.md: tiny graphs at
+    # session width are scheduling-overhead-bound) — plan-locally via
+    # repartition inside _star_round, never by mutating session conf
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loop_parts = max(2, min(session_parts, n_edges // 200_000 + 1))
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
-        edges = _cc_loop(edges, max_iter)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    edges = _cc_loop(edges, max_iter, loop_parts)
     return _labels_from_edges(edges, pairs)
 
 
@@ -125,11 +140,13 @@ def _labels_from_surfaces(labels: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
+def _cc_loop(
+    edges: DataFrame, max_iter: int, num_partitions: int | None = None
+) -> DataFrame:
     prev_sig = None
     for _ in range(max_iter):
-        edges = _star_round(edges, large=True)
-        edges = _star_round(edges, large=False)
+        edges = _star_round(edges, large=True, num_partitions=num_partitions)
+        edges = _star_round(edges, large=False, num_partitions=num_partitions)
         # LAZY checkpoint fused with the convergence signature: the sig
         # aggregation below is the action that materializes the round
         # AND truncates its lineage — one job per round, not two

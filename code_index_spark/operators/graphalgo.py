@@ -36,45 +36,48 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_edges = und.count()
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(max(2, min(int(prev_parts), n_edges // 500_000 + 1))),
-    )
-    try:
-        out_deg = und.groupBy("src").agg(F.count("*").alias("deg"))
-        vertices = und.select(F.col("src").alias("v")).distinct().localCheckpoint(eager=True)
-        n = vertices.count()
-        if n == 0:
-            return spark.createDataFrame([], "v long, rank double")
-        ranks = vertices.withColumn("rank", F.lit(1.0 / n))
-        links = und.join(out_deg, "src").localCheckpoint(eager=True)
-        base = (1.0 - damping) / n
-        for _ in range(max_iter):
-            contribs = (
-                links.join(ranks, links.src == ranks.v)
-                .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
-                .groupBy("dst")
-                .agg(F.sum("c").alias("inflow"))
+    # size the iteration's shuffles to the edge count PLAN-LOCALLY
+    # (round-4 ADVICE: no session-conf mutation — it races concurrent
+    # queries on the session): one explicit repartition on src that the
+    # degree groupBy, vertex distinct, and link join all reuse
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = max(2, min(session_parts, n_edges // 500_000 + 1))
+    und = und.repartition(loop_parts, "src")
+    out_deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    vertices = und.select(F.col("src").alias("v")).distinct().localCheckpoint(eager=True)
+    n = vertices.count()
+    if n == 0:
+        return spark.createDataFrame([], "v long, rank double")
+    ranks = vertices.withColumn("rank", F.lit(1.0 / n))
+    links = und.join(out_deg, "src").localCheckpoint(eager=True)
+    base = (1.0 - damping) / n
+    for _ in range(max_iter):
+        # NOTE: no repartition ahead of this groupBy — that would
+        # defeat the map-side partial aggregation (|E| raw contribution
+        # rows would cross the wire instead of ≤|V| partials per task);
+        # AQE coalesces the reduce side when the graph is small
+        contribs = (
+            links.join(ranks, links.src == ranks.v)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # lazy checkpoint: the delta action below materializes the
+        # round AND truncates lineage in the same single job
+        new_ranks = (
+            vertices.join(contribs, vertices.v == contribs.dst, "left")
+            .select(
+                "v",
+                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
             )
-            # lazy checkpoint: the delta action below materializes the
-            # round AND truncates lineage in the same single job
-            new_ranks = (
-                vertices.join(contribs, vertices.v == contribs.dst, "left")
-                .select(
-                    "v",
-                    (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
-                )
-                .localCheckpoint(eager=False)
-            )
-            delta = (
-                new_ranks.join(ranks.withColumnRenamed("rank", "old"), "v")
-                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
-                .first()["d"]
-            )
-            ranks = new_ranks
-            if delta is not None and delta < tol:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            .localCheckpoint(eager=False)
+        )
+        delta = (
+            new_ranks.join(ranks.withColumnRenamed("rank", "old"), "v")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
+            .first()["d"]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
     return ranks

@@ -232,3 +232,37 @@ def test_vertices_and_edges_shape(linked):
     ent_ids = {r["entity_id"] for r in vertices.select("entity_id").collect()}
     srcs = {r["src_entity"] for r in edges.select("src_entity").distinct().collect()}
     assert srcs <= ent_ids
+
+
+def test_search_index_parity(linked, spark, tmp_path):
+    """The materialized serving index (build_search_index +
+    search_index_topk) must return IDENTICAL (surface, score) results
+    to search_surfaces' per-request rebuild — for in-vocab, mixed,
+    OOV-only, and empty queries, and from both the session-lifetime
+    (localCheckpoint) and durable (parquet) index forms."""
+    from code_index_spark.operators.link import (
+        build_search_index,
+        search_index_topk,
+        search_surfaces,
+    )
+
+    triples, _, _, _ = linked
+    index = build_search_index(triples)
+    disk = build_search_index(triples, path=str(tmp_path / "searchidx"))
+
+    def rows(df):
+        return [(r["surface"], r["score"]) for r in df.collect()]
+
+    queries = [
+        "acme corp",             # in-vocab
+        "Acme-Corp @widget",     # normalization exercises @/-/case
+        "zzqqxx",                # OOV-only → empty
+        "",                      # empty
+        "acme zzqqxx corp",      # mixed: OOV grams must not change ‖q‖
+    ]
+    for q in queries:
+        want = rows(search_surfaces(triples, q, k=10))
+        assert rows(search_index_topk(index, q, k=10)) == want
+        assert rows(search_index_topk(disk, q, k=10)) == want
+    # the in-vocab query actually returns results (non-vacuous parity)
+    assert rows(search_index_topk(index, "acme corp", k=10))
