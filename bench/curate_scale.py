@@ -11,15 +11,37 @@ correctness check as well as a timing run:
   id%10==1       EXACT duplicate of doc id-1's text
   id%10==2       NEAR duplicate of doc id-2 (one word appended:
                  word-3-gram jaccard ≈ (W-2)/(W-1) ≈ 0.92 ≥ 0.8)
-  id%10==3       low-quality (punctuation soup, 3 words)
+  id%10==3       low-quality (punctuation soup, 3 words — each doc's
+                 punctuation carries its OWN token so no gram is
+                 shared across docs: an earlier fixture used a
+                 constant "!!! ??? ,,." prefix, which made the 10%
+                 low-quality population a single boilerplate CLIQUE
+                 sharing one gram — ~B/2 docs per band bucket, 150.8M
+                 candidate pairs at 100k docs, OOM at 600k. That
+                 hazard is now a planted-clique pytest + the
+                 max_bucket cap; the BENCHMARK corpus keeps the
+                 populations independent so each stage's wall
+                 measures its own work)
   id%10==4       French marker text (quality 0.8 — passes the quality
                  gate so the label priority routes it to non_en)
 Expected label mix: 60% keep / 10% each otherwise (near-dup bases are
-keeps, so reject reasons can't collide with their survivors).
+keeps, so reject reasons can't collide with their survivors). Verified
+near-dup pairs = 3 per 10-id block — (base, exact-copy) at j=1.0 plus
+(base, near) and (exact-copy, near) at j≈0.92 — i.e. n_docs·3/10.
 
-Usage: python bench/curate_scale.py [n_docs]   (default 600_000)
+Usage: python bench/curate_scale.py [n_docs] [--clique]
 Appends/replaces the '## Composed curation at scale' section of
 BENCH.md and prints one JSON line.
+
+--clique replants the low-quality population as a BOILERPLATE CLIQUE
+(the pre-fix fixture: every doc shares the constant gram
+"!!! ??? ,,.") and runs the pipeline in its production configuration
+(near_dup_max_bucket=1000). Uncapped, that clique floods the
+candidate join — measured 150.8M candidate pairs at 100k docs from 9
+OR-bands, OOM at 600k — so this mode is the end-to-end proof that the
+stop-bucket cap makes the composed pipeline complete, with the SAME
+label mix (clique pairs rescore at j≈1/3 < 0.8, so capping their
+buckets cannot change any label).
 """
 
 from __future__ import annotations
@@ -34,7 +56,9 @@ sys.path.insert(0, ROOT)
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
+    clique = "--clique" in sys.argv
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_docs = int(pos[0]) if pos else 600_000
 
     from pyspark.sql import functions as F
 
@@ -72,7 +96,13 @@ def main() -> None:
         F.when(bucket == 1, body(F.col("id") - 1))
         .when(bucket == 2, F.concat(body(F.col("id") - 2), F.lit(" "),
                                     tok("x", F.col("id"))))
-        .when(bucket == 3, F.concat(F.lit("!!! ??? ,,. "), tok("j", F.col("id"))))
+        .when(bucket == 3,
+              F.concat(F.lit("!!! ??? ,,. "), tok("j", F.col("id"))) if clique
+              else F.concat_ws(
+                  " ",
+                  F.concat(F.lit("!!"), tok("i", F.col("id"))),
+                  F.concat(F.lit("??"), tok("j", F.col("id"))),
+                  F.concat(F.lit(",,."), tok("jj", F.col("id")))))
         .when(bucket == 4, F.concat_ws(
             " ", F.lit("le"), tok("k", F.col("id")), F.lit("et"),
             tok("m", F.col("id")), F.lit("la"), tok("n", F.col("id")),
@@ -84,7 +114,9 @@ def main() -> None:
         .select(F.col("id").alias("doc_id"), text.alias("text"))
         .localCheckpoint(eager=True)  # fixture cost excluded from walls
     )
-    out = {"metric": "curate_scale", "n_docs": n_docs}
+    cap = 1000 if clique else None
+    out = {"metric": "curate_scale", "n_docs": n_docs, "clique_mode": clique,
+           "near_dup_max_bucket": cap}
 
     t0 = time.perf_counter()
     out["n_exact_groups"] = exact_duplicates(docs, "doc_id", "text").count()
@@ -92,9 +124,20 @@ def main() -> None:
 
     t0 = time.perf_counter()
     out["n_near_pairs"] = minhash_verified_pairs(
-        docs, "doc_id", "text", threshold=0.8
+        docs, "doc_id", "text", threshold=0.8, max_bucket=cap
     ).count()
     out["wall_near_sec"] = round(time.perf_counter() - t0, 1)
+
+    if clique:
+        # candidate volume under the cap: the uncapped twin is the
+        # measured 150.8M pairs at 100k docs (OOM at this scale)
+        from code_index_spark.operators.dedupe import minhash_band_candidates
+
+        t0 = time.perf_counter()
+        out["n_candidates_capped"] = minhash_band_candidates(
+            docs, "doc_id", "text", max_bucket=cap, num_hash_tables=9
+        ).count()
+        out["wall_candidates_sec"] = round(time.perf_counter() - t0, 1)
 
     t0 = time.perf_counter()
     out["n_low_quality"] = (
@@ -112,7 +155,8 @@ def main() -> None:
     # composed operator end to end (recomputes every stage — what one
     # curation job pays)
     t0 = time.perf_counter()
-    summary = {r["reason"]: r["n_docs"] for r in curation_summary(docs).collect()}
+    summary = {r["reason"]: r["n_docs"]
+               for r in curation_summary(docs, near_dup_max_bucket=cap).collect()}
     out["wall_composed_sec"] = round(time.perf_counter() - t0, 1)
     out["docs_per_sec_composed"] = int(n_docs / (out["wall_composed_sec"] or 1))
     out["labels"] = summary
@@ -126,21 +170,57 @@ def main() -> None:
     print(json.dumps(out), flush=True)
 
     cores = os.environ.get("SPARK_GRAFT_CPUS", 32)
+    # NB: _update_bench_md matches sections by title PREFIX, so the
+    # clique title must not extend the base title (or the base run
+    # would delete this section)
+    title = (
+        "## Boilerplate-clique curation (stop-bucket cap end-to-end)"
+        if clique else "## Composed curation at scale"
+    )
+    if clique:
+        intro = (
+            f"({n_docs} docs, local[{cores}], bench/curate_scale.py "
+            "--clique.) Same planted corpus, but the 10% low-quality "
+            "population is replanted as a BOILERPLATE CLIQUE — every doc "
+            'shares the constant gram "!!! ??? ,,." — the real-corpus '
+            "hazard (templated short docs) that floods r=1 OR-banding: "
+            "the shared gram wins ~half the min-hashes, so ~B/2 of the "
+            "clique lands in ONE bucket per band. Measured uncapped: "
+            "150.8M candidate pairs at 100k docs (9 bands), OOM at "
+            "600k. This run is the production configuration — "
+            "near_dup_max_bucket=1000 stop-bucket removal — end to end. "
+            "Capping is label-exact here because clique pairs rescore "
+            "at jaccard ≈ 1/3 < 0.8 (the planted-clique pytest asserts "
+            "capped == uncapped verified output on a tractable size).\n\n"
+        )
+        cand_row = (
+            f"| minhash_band_candidates (capped) | "
+            f"{out['wall_candidates_sec']} | "
+            f"{out['n_candidates_capped']} candidates (uncapped twin: "
+            "~5.4B extrapolated, OOM) |\n"
+        )
+    else:
+        intro = (
+            f"({n_docs} docs, local[{cores}], bench/curate_scale.py.) "
+            "The full training-data filter (exact dedupe → minhash-verified "
+            "near-dup → quality → language) on a synthesized corpus with "
+            "PLANTED populations — 10% exact dups, 10% one-word-appended "
+            "near-dups (gram jaccard ≈ 0.92), 10% punctuation soup, 10% "
+            "French — so the label mix is a correctness check, not just a "
+            "wall clock (the oracle-checked driver rows pin the same "
+            "composition at sf0.01). Verified pairs = 3 per 10-id block "
+            "(base↔copy at j=1.0, base↔near and copy↔near at j≈0.92) "
+            "= n·3/10.\n\n"
+        )
+        cand_row = ""
     section = (
-        "## Composed curation at scale\n\n"
-        f"({n_docs} docs, local[{cores}], bench/curate_scale.py.) "
-        "The full training-data filter (exact dedupe → minhash-verified "
-        "near-dup → quality → language) on a synthesized corpus with "
-        "PLANTED populations — 10% exact dups, 10% one-word-appended "
-        "near-dups (gram jaccard ≈ 0.92), 10% punctuation soup, 10% "
-        "French — so the label mix is a correctness check, not just a "
-        "wall clock (bench/curate_scale.py; the oracle-checked driver "
-        "rows pin the same composition at sf0.01).\n\n"
+        f"{title}\n\n{intro}"
         "| stage | wall (s) | output |\n|---|---|---|\n"
         f"| exact_duplicates | {out['wall_exact_sec']} | "
         f"{out['n_exact_groups']} dup groups |\n"
         f"| minhash_verified_pairs (s≥0.8) | {out['wall_near_sec']} | "
         f"{out['n_near_pairs']} verified pairs |\n"
+        f"{cand_row}"
         f"| quality_features < 0.7 | {out['wall_quality_sec']} | "
         f"{out['n_low_quality']} low-quality |\n"
         f"| lang_id ≠ en | {out['wall_lang_sec']} | "
@@ -148,10 +228,12 @@ def main() -> None:
         f"| **curation_summary (composed)** | **{out['wall_composed_sec']}** | "
         f"{out['docs_per_sec_composed']} docs/s; labels {summary} |\n\n"
         f"Planted label mix reproduced: {out['label_mix_ok']} "
-        "(each reason within 0.5% of its planted rate). The composed "
-        "wall ≈ the dedup stages (the only ones where the corpus "
-        "crosses the wire) — quality/lang are per-row codegen riding "
-        "the same scan.\n"
+        "(each reason within 0.5% of its planted rate). Stage walls are "
+        "single-run and first-touch (the composed line benefits from a "
+        "warm JVM/code cache, which is why it can undercut the "
+        "standalone near-dup stage); the corpus crosses the wire only "
+        "in the two dedup stages — quality/lang are per-row codegen "
+        "riding the same scan.\n"
     )
     from bench.scaling import _update_bench_md
 

@@ -38,8 +38,15 @@ def curation_labels(
     near_dup_threshold: float = 0.8,
     min_quality: float = 0.7,
     keep_lang: str = "en",
+    near_dup_max_bucket: int | None = None,
 ) -> DataFrame:
-    """(id, reason, doc_chars) per document."""
+    """(id, reason, doc_chars) per document.
+
+    near_dup_max_bucket → dedupe.minhash_verified_pairs: stop-bucket
+    cap for the near-dup blocking stage. None (default) keeps exact
+    oracle semantics; crawl-scale corpora with boilerplate cliques
+    should set it (~1000) or the candidate join goes quadratic in the
+    clique size (measured in operators/dedupe.minhash_band_candidates)."""
     docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     ex = exact_duplicates(docs, "doc_id", "text")
     exact_removed = (
@@ -50,7 +57,8 @@ def curation_labels(
         .withColumn("r_exact", F.lit(1))
     )
     near_removed = (
-        minhash_verified_pairs(docs, "doc_id", "text", threshold=near_dup_threshold)
+        minhash_verified_pairs(docs, "doc_id", "text", threshold=near_dup_threshold,
+                               max_bucket=near_dup_max_bucket)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
         .withColumn("r_near", F.lit(1))

@@ -114,16 +114,33 @@ def minhash_band_candidates(
     n: int = 3,
     num_hash_tables: int = 8,
     shingled: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """The blocking stage alone: (id_a, id_b) pairs whose md5-60bit
     minhash signatures collide in >=1 of `num_hash_tables` bands — pure
     Catalyst (functions.minhash), fully DuckDB-oracle-able, candidate
-    volume linear in bucket sizes."""
+    volume linear in bucket sizes.
+
+    max_bucket = stop-bucket removal (band_collision_pairs): a corpus
+    with a B-doc boilerplate clique — short templated docs sharing a
+    constant gram — puts ~B/2 docs in one bucket PER BAND whenever the
+    shared gram wins the min (probability ≈ 1/#grams for short docs),
+    and the collision join then emits O(B²) pairs per band. Measured:
+    a planted 10k-doc clique at 100k docs ⇒ 150.8M candidate pairs
+    from 9 OR-bands (~5.4B at 600k — an OOM, not a slowdown). The cap
+    bounds every bucket; pairs it drops are overwhelmingly LOW-jaccard
+    (clique members share one gram of several, j ≈ 1/(2·#grams−1)), so
+    the verified output at production thresholds is unchanged while
+    candidate volume returns to linear (tests/test_dedupe.py planted-
+    clique test). None = no cap — exact semantics for the oracle path."""
     from ..functions.minhash import band_collision_pairs, minhash_bands
 
     if shingled is None:
         shingled = _shingled(df, id_col, text_col, n)
-    return band_collision_pairs(minhash_bands(shingled, "id", "grams", num_hash_tables))
+    return band_collision_pairs(
+        minhash_bands(shingled, "id", "grams", num_hash_tables),
+        max_bucket=max_bucket,
+    )
 
 
 def minhash_lsh_pairs(
@@ -134,6 +151,7 @@ def minhash_lsh_pairs(
     jaccard_max_dist: float = 0.3,
     num_hash_tables: int | None = None,
     target_miss: float = 1e-6,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash candidate near-dup pairs (shingle → k min-hashes → band
     collision join → exact-Jaccard rescore of candidates only).
@@ -163,7 +181,8 @@ def minhash_lsh_pairs(
     # scan three times over — the CLAUDE.md persist-vs-plan lesson)
     grams = _shingled(df, id_col, text_col, n).localCheckpoint(eager=True)
     cands = minhash_band_candidates(
-        df, id_col, text_col, n, num_hash_tables, shingled=grams
+        df, id_col, text_col, n, num_hash_tables, shingled=grams,
+        max_bucket=max_bucket,
     )
     a = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
     b = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
@@ -184,9 +203,15 @@ def minhash_verified_pairs(
     threshold: float = 0.8,
     num_hash_tables: int | None = None,
     target_miss: float = 1e-6,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """The production near-dup shape: minhash *blocking* + exact n-gram
     Jaccard *rescoring* of candidates only.
+
+    max_bucket caps band-bucket size (stop-bucket removal) — REQUIRED
+    at crawl scale where boilerplate cliques exist; see
+    minhash_band_candidates for the measured flood it prevents. The
+    oracle-checked driver row runs uncapped (exact semantics).
 
     Output is (id_a, id_b, jaccard) with jaccard computed over the raw
     shingle sets — i.e. exactly what ngram_jaccard_pairs returns, but
@@ -201,6 +226,7 @@ def minhash_verified_pairs(
         jaccard_max_dist=1.0 - threshold,
         num_hash_tables=num_hash_tables,
         target_miss=target_miss,
+        max_bucket=max_bucket,
     )
 
 

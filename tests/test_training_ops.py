@@ -106,6 +106,47 @@ def test_minhash_candidates_contain_all_true_pairs(spark):
     assert verified == true_pairs
 
 
+def test_minhash_boilerplate_clique_cap(spark):
+    """Stop-bucket cap vs a planted boilerplate clique (the 600k-doc
+    curation bench originally OOM'd on exactly this shape): B short
+    templated docs share ONE constant gram, so the shared gram wins the
+    min-hash with probability ≈ 1/#grams and puts ~B/3 of the clique in
+    a single bucket per band — O(B²) candidates from docs whose true
+    pairwise jaccard (1/5 here) is far below any production threshold.
+    The cap must crush the candidate volume while leaving the VERIFIED
+    output identical, because everything it drops rescores below the
+    threshold anyway."""
+    from code_index_spark.operators.dedupe import (
+        minhash_band_candidates,
+        minhash_verified_pairs,
+    )
+
+    rows = []
+    for i in range(100):  # the clique: "zz yy xx u2i u2i+1"
+        rows.append((i, f"zz yy xx u{2 * i} u{2 * i + 1}"))
+    for i in range(100, 130):  # independent docs + planted near-dups
+        body = " ".join(f"t{i}x{j}" for j in range(12))
+        rows.append((i, body))
+        if i % 3 == 0:
+            rows.append((1000 + i, body + " tail"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    n_uncapped = minhash_band_candidates(df, "doc_id", "text", 3, 9).count()
+    n_capped = minhash_band_candidates(
+        df, "doc_id", "text", 3, 9, max_bucket=10
+    ).count()
+    assert n_uncapped > 1000  # the clique floods the uncapped join
+    assert n_capped < n_uncapped / 10  # cap restores ~linear volume
+
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in minhash_verified_pairs(df, "doc_id", "text", 3, 0.8).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in minhash_verified_pairs(
+                  df, "doc_id", "text", 3, 0.8, max_bucket=10).collect()}
+    assert capped == uncapped
+    assert {(i, 1000 + i) for i in range(102, 130, 3)} <= capped
+
+
 def test_simhash_properties(spark, docs):
     sigs = {r["id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
     assert sigs[0] == sigs[1]  # identical text → identical signature
