@@ -36,12 +36,15 @@ from code_index_spark.operators.rank import (
 from code_index_spark.operators.segment import segment
 from code_index_spark.operators.simsearch import brute_force_topk
 from code_index_spark.operators.textstats import (
+    DUP_WORD_FRAC_MAX,
     LANG_MARKERS,
     TOKEN_REGEX,
+    TOP_GRAM_FRAC_MAX,
     fingerprint,
     fingerprint_sql,
     lang_id,
     quality_features,
+    repetition_features,
     token_counts,
 )
 from code_index_spark.oracle import triples_count_sql, triples_rows_sql
@@ -971,6 +974,17 @@ def _q_fingerprint_docs(spark, sf_dir):
     return fingerprint(tbl["documents"], "doc_id", "text").orderBy("id")
 
 
+def _q_repetition_docs(spark, sf_dir):
+    """Gopher-style repetition filters; the Spark side is the ZERO-
+    shuffle sorted-gram fold, the oracle re-derives the gram mode via
+    unnest + group — two independent formulations of the same exact
+    integers."""
+    tbl = load_tables(spark, sf_dir)
+    return repetition_features(tbl["documents"], "text").select(
+        "doc_id", "n_words", "dup_word_frac", "top_gram_frac", "repetitive"
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # queries — non-SQL-expressible pipeline stages (rows-only checks)
 # ---------------------------------------------------------------------------
@@ -1259,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "lang_id_docs": _q_lang_id_docs,
         "doc_quality": _q_doc_quality,
+        "repetition_docs": _q_repetition_docs,
         "token_counts": _q_token_counts,
         "fingerprint_docs": _q_fingerprint_docs,
         # event-time joins
@@ -1521,6 +1536,38 @@ SELECT doc_id, CAST(n_words AS INT) AS n_words,
                THEN 0.1 ELSE 0.0 END)
        + (CASE WHEN stopword_hits > 0 THEN 0.2 ELSE 0.0 END), 2) AS quality_score
 FROM base ORDER BY doc_id
+"""
+
+# Independent re-derivation of repetition_features: the gram mode via
+# unnest + group-by (the engine uses a per-row sorted-run fold).
+_REPETITION_ORACLE = rf"""
+WITH w AS (
+  SELECT doc_id, trim(text) AS t,
+         string_split_regex(trim(text), '\s+') AS words
+  FROM documents
+), b AS (
+  SELECT doc_id,
+    CASE WHEN length(t) = 0 THEN 0 ELSE len(words) END AS n_words,
+    CASE WHEN length(t) = 0 THEN 0 ELSE len(list_distinct(words)) END AS n_distinct,
+    CASE WHEN length(t) = 0 OR len(words) < 2 THEN CAST([] AS VARCHAR[])
+         ELSE [array_to_string(words[i:i+1], ' ') for i in range(1, len(words))] END AS grams
+  FROM w
+), m AS (
+  SELECT doc_id, max(c) AS best FROM (
+    SELECT doc_id, gram, count(*) AS c
+    FROM (SELECT doc_id, unnest(grams) AS gram FROM b)
+    GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+), r AS (
+  SELECT b.doc_id, CAST(n_words AS INT) AS n_words,
+    round(CASE WHEN n_words > 0 THEN 1.0 - n_distinct * 1.0 / n_words ELSE 0.0 END, 6) AS dup_word_frac,
+    round(CASE WHEN n_words >= 2 THEN coalesce(best, 0) * 1.0 / (n_words - 1) ELSE 0.0 END, 6) AS top_gram_frac
+  FROM b LEFT JOIN m USING (doc_id)
+)
+SELECT doc_id, n_words, dup_word_frac, top_gram_frac,
+       (dup_word_frac > {DUP_WORD_FRAC_MAX}
+        OR top_gram_frac > {TOP_GRAM_FRAC_MAX}) AS repetitive
+FROM r ORDER BY doc_id
 """
 
 def _py_norm(s: str) -> str:
@@ -2274,6 +2321,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _dataset_split_oracle(),
         "lang_id_docs": _LANG_ORACLE,
         "doc_quality": _QUALITY_ORACLE,
+        "repetition_docs": _REPETITION_ORACLE,
         "token_counts": (
             "SELECT doc_id,"
             " CAST(CASE WHEN length(trim(text)) = 0 THEN 0"

@@ -19,28 +19,44 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def _marker_hits(col, words: list[str]):
-    toks = F.split(F.lower(col), "\\s+")
-    hits = F.lit(0)
-    for w in words:
-        hits = hits + F.when(F.array_contains(toks, w), 1).otherwise(0)
-    return hits
-
-
 def lang_id(df: DataFrame, text_col: str) -> DataFrame:
     """Predicted language by stopword-marker vote; 'und' if no marker.
-    Ties broken by fixed language order (deterministic)."""
-    out = df
-    for lang, words in LANG_MARKERS.items():
-        out = out.withColumn(f"_hits_{lang}", _marker_hits(F.col(text_col), words))
-    best = F.lit("und")
-    best_hits = F.lit(0)
-    for lang in LANG_MARKERS:  # insertion order = tie-break order
-        cond = F.col(f"_hits_{lang}") > best_hits
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_hits = F.when(cond, F.col(f"_hits_{lang}")).otherwise(best_hits)
-    out = out.withColumn("pred_lang", best)
-    return out.drop(*[f"_hits_{lang}" for lang in LANG_MARKERS])
+    Ties broken by fixed language order (deterministic).
+
+    The vote is ONE array_max over (hits, priority, lang) structs —
+    struct comparison is lexicographic, and priority = #langs − index
+    makes the earliest language win ties, exactly the old iterative
+    argmax. The previous formulation chained nested CASE WHENs whose
+    inlining duplicated each language's hit expression (split + 3
+    array_contains) up to 2^#langs times, and codegen subexpression
+    elimination cannot rescue subtrees sitting in conditional CASE
+    branches — measured 18.9 s → 4.3 s on the same 600k-doc corpus
+    (bench/curate_scale.py; quality_features, the same scan shape
+    without the nesting, runs 1.7 s)."""
+    toks = F.split(F.lower(F.col(text_col)), "\\s+")
+    n_langs = len(LANG_MARKERS)
+    entries = []
+    for i, (lang, words) in enumerate(LANG_MARKERS.items()):
+        hits = F.lit(0)
+        for w in words:
+            hits = hits + F.when(F.array_contains(toks, w), 1).otherwise(0)
+        entries.append(F.struct(
+            hits.alias("hits"),
+            F.lit(n_langs - i).alias("prio"),  # insertion order = tie-break
+            F.lit(lang).alias("lang"),
+        ))
+    # two-step projection: `pred` references the vote twice (condition
+    # + value branch), and a conditional-branch copy is invisible to
+    # codegen subexpression elimination — keeping the vote as its own
+    # column makes CollapseProject leave it un-inlined (duplicated
+    # non-cheap refs block the collapse), so it is computed once
+    best = F.col("_lang_best")
+    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return (
+        df.withColumn("_lang_best", F.array_max(F.array(*entries)))
+        .withColumn("pred_lang", pred)
+        .drop("_lang_best")
+    )
 
 
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
@@ -72,6 +88,81 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
         .withColumn("punct_ratio", F.round(punct_ratio, 6))
         .withColumn("stopword_hits", stop_hits)
         .withColumn("quality_score", F.round(score, 2))
+    )
+
+
+# Gopher-style repetition-filter thresholds (Rae et al. 2021, table A1
+# ballpark): docs above either are flagged `repetitive`.
+DUP_WORD_FRAC_MAX = 0.5
+TOP_GRAM_FRAC_MAX = 0.2
+
+
+def repetition_features(df: DataFrame, text_col: str, gram_n: int = 2) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+      dup_word_frac  — fraction of word occurrences that repeat an
+                       earlier word (1 − distinct/total);
+      top_gram_frac  — fraction of all `gram_n`-grams accounted for by
+                       the single most frequent gram;
+      repetitive     — either fraction above its threshold.
+
+    Pure Catalyst, ZERO shuffle: the per-doc gram mode is computed as
+    the longest equal-adjacent run of the SORTED gram array via one
+    `aggregate` fold — the naive formulation (explode grams → groupBy
+    (doc, gram) → max(count)) shuffles the full gram stream, ~n_words
+    rows per doc, which at 100 TB is a corpus-sized exchange for a
+    per-row statistic. The DuckDB oracle uses the explode+group
+    formulation (same exact integers), so the driver row also checks
+    the fold against an independent derivation. Reference parity:
+    per-block quality gating, code-index
+    file_processing_helpers.py:55-57 (min_content_length gates before
+    indexing); the repetition signals extend that gate family with the
+    standard pretraining-corpus filters."""
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    empty = F.length(F.trim(t)) == 0
+    n_words = F.when(empty, 0).otherwise(F.size(words))
+    n_distinct = F.when(empty, 0).otherwise(F.size(F.array_distinct(words)))
+    dup_word_frac = F.when(
+        n_words > 0, F.lit(1.0) - n_distinct / n_words
+    ).otherwise(F.lit(0.0))
+    # gram build via chained zip_with against shifted copies: ONE pass
+    # per shift. The obvious transform(sequence, i → concat_ws(slice))
+    # allocates a fresh slice per gram — O(n·gram_n) array copies —
+    # and measured 8.1 s vs 1.5 s for this form on 17.4M grams
+    # (600k docs × 29). zip_with pads the shorter side with null and
+    # ANSI concat propagates it, so the <gram_n tails null out and one
+    # array_compact trims them; inputs shorter than gram_n yield [].
+    n_raw = F.size(words)
+    grams = words
+    for k in range(2, gram_n + 1):
+        shifted = F.slice(words, k, F.greatest(n_raw - (k - 1), F.lit(1)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.array_compact(grams)
+    # longest equal-adjacent run over the sorted grams == mode count
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def _merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    best = F.aggregate(F.array_sort(grams), zero, _merge, lambda acc: acc["best"])
+    n_grams = F.when(n_words >= gram_n, n_words - gram_n + 1).otherwise(F.lit(0))
+    top_gram_frac = F.when(n_grams > 0, best / n_grams).otherwise(F.lit(0.0))
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("dup_word_frac", F.round(dup_word_frac, 6))
+        .withColumn("top_gram_frac", F.round(top_gram_frac, 6))
+    )
+    return out.withColumn(
+        "repetitive",
+        (F.col("dup_word_frac") > DUP_WORD_FRAC_MAX)
+        | (F.col("top_gram_frac") > TOP_GRAM_FRAC_MAX),
     )
 
 

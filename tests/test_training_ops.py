@@ -23,6 +23,7 @@ from code_index_spark.operators.textstats import (
     fingerprint,
     lang_id,
     quality_features,
+    repetition_features,
     token_counts,
 )
 
@@ -338,6 +339,28 @@ def test_quality_and_tokens(spark, docs):
     t = {r["doc_id"]: r for r in token_counts(docs, "text").collect()}
     assert t[0]["ws_tokens"] == 13
     assert t[5]["ws_tokens"] == 0
+
+
+def test_repetition_features(spark):
+    rows = [
+        (0, "a a a a b"),        # dup 1-2/5=0.6; grams a-a ×3 of 4 → 0.75
+        (1, "w1 w2 w3 w4"),      # all distinct; every gram unique → 1/3
+        (2, ""),                 # empty → zeros
+        (3, "x"),                # one word → no grams
+        (4, "b a b a b a"),      # dup 2/3; grams b-a ×3 of 5 → 0.6
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_features(df, "text").collect()}
+    assert out[0]["dup_word_frac"] == 0.6 and out[0]["top_gram_frac"] == 0.75
+    assert out[0]["repetitive"]
+    assert out[1]["dup_word_frac"] == 0.0 and out[1]["top_gram_frac"] == 0.333333
+    assert out[2]["n_words"] == 0 and not out[2]["repetitive"]
+    assert out[3]["top_gram_frac"] == 0.0
+    assert out[4]["dup_word_frac"] == 0.666667 and out[4]["top_gram_frac"] == 0.6
+    # 3-gram variant: "a a a","a a a","a a b" → mode 2 of 3
+    out3 = {r["doc_id"]: r["top_gram_frac"]
+            for r in repetition_features(df, "text", gram_n=3).collect()}
+    assert out3[0] == 0.666667 and out3[4] == 0.5
 
 
 def test_fingerprint_deterministic_and_discriminative(spark, docs):
