@@ -974,6 +974,74 @@ def _q_fingerprint_docs(spark, sf_dir):
     return fingerprint(tbl["documents"], "doc_id", "text").orderBy("id")
 
 
+# mixture config for the registered query: epochs >1 (oversample),
+# plain keep, half, decimation — one of each family across the srcN
+# strata; unknown strata fall to the default rate
+_MIX_RATES = {f"src{i}": [2.5, 1.0, 0.5, 0.1][i % 4] for i in range(20)}
+_MIX_DEFAULT = 0.25
+
+
+def _q_mixture_sample_docs(spark, sf_dir):
+    """Deterministic training-mixture construction over documents:
+    per-source sampling rates incl. >1 oversampling epochs; the
+    (doc_id, source, epoch) rows are a pure function of (doc_id,
+    salt) so the full result value-hashes against DuckDB."""
+    from code_index_spark.operators.split import mixture_sample
+
+    tbl = load_tables(spark, sf_dir)
+    return mixture_sample(
+        tbl["documents"], "doc_id", "source", _MIX_RATES, _MIX_DEFAULT
+    ).select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
+
+
+def _q_pii_docs(spark, sf_dir):
+    """PII scrub over documents: the corpus itself is PII-free, so the
+    query PLANTS deterministic emails / IPs / phone numbers into
+    doc_id-keyed slices (the same construction in the oracle SQL), and
+    the redacted text carries a full value-hash — redaction parity is
+    checked byte-for-byte, not just the counts."""
+    from code_index_spark.operators.pii import pii_features, redact_pii
+
+    tbl = load_tables(spark, sf_dir)
+    did = F.col("doc_id")
+    planted = tbl["documents"].withColumn(
+        "ptext",
+        F.concat(
+            F.col("text"),
+            F.when(did % 7 == 0, F.concat(
+                F.lit(" contact user"), did.cast("string"),
+                F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.concat(
+                F.lit(" from host 10."), (did % 256).cast("string"),
+                F.lit(".0.1"))).otherwise(F.lit("")),
+            F.when(did % 13 == 0, F.lit(" tel 555-123-4567"))
+             .otherwise(F.lit("")),
+        ),
+    )
+    out = redact_pii(pii_features(planted, "ptext"), "ptext")
+    return out.select(
+        "doc_id", "n_emails", "n_ipv4", "n_phones", "has_pii", "redacted"
+    ).orderBy("doc_id")
+
+
+def _q_decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination over the documents table: the eval
+    set is the deterministic doc_id % 97 == 0 slice (a stand-in
+    benchmark suite), the rest is the training corpus; gram_n=3
+    because the synthetic corpus draws words from a small vocabulary
+    (8-grams never collide across docs here — measured 0 at sf0.01 —
+    while 3-grams flag ~a third of the corpus, so the query is
+    discriminative). The eval gram set is broadcast: the corpus side
+    never shuffles."""
+    from code_index_spark.operators.decontam import decontaminate
+
+    tbl = load_tables(spark, sf_dir)
+    docs = tbl["documents"]
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(tr, ev, "doc_id", "text", gram_n=3)
+
+
 def _q_repetition_docs(spark, sf_dir):
     """Gopher-style repetition filters; the Spark side is the ZERO-
     shuffle sorted-gram fold, the oracle re-derives the gram mode via
@@ -1274,6 +1342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": _q_lang_id_docs,
         "doc_quality": _q_doc_quality,
         "repetition_docs": _q_repetition_docs,
+        "decontaminate_docs": _q_decontaminate_docs,
+        "pii_docs": _q_pii_docs,
+        "mixture_sample_docs": _q_mixture_sample_docs,
         "token_counts": _q_token_counts,
         "fingerprint_docs": _q_fingerprint_docs,
         # event-time joins
@@ -1308,12 +1379,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational core flagships
         "q1_pricing": _q_q1_pricing,
         "q3_top_revenue": _q_q3_top_revenue,
+        # --- driver 50-query sample window ends here (position 50);
+        # everything below is driver-green from earlier rounds or
+        # rows-only, and the `-m slow` sweep re-checks all of it ---
         "q17_small_qty_revenue": _q_q17_small_qty_revenue,
         "q22_idle_customers": _q_q22_idle_customers,
         "top_parts_per_brand": _q_top_parts_per_brand,
         "revenue_rollup": _q_revenue_rollup,
         "q13_custdist": _q_q13_custdist,
-        # --- driver 50-query sample window ends around here ---
         "customers_without_orders": _q_customers_without_orders,
         "q5_region_revenue": _q_q5_region_revenue,
         "q4_waiting_orders": _q_q4_waiting_orders,
@@ -1569,6 +1642,79 @@ SELECT doc_id, n_words, dup_word_frac, top_gram_frac,
         OR top_gram_frac > {TOP_GRAM_FRAC_MAX}) AS repetitive
 FROM r ORDER BY doc_id
 """
+
+# Decontamination oracle: same eval/train slices and 3-gram windows;
+# joins raw gram strings where the engine joins 60-bit hashes (same
+# answer, see operators/decontam.py).
+_DECONTAM_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_distinct(
+      [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)])) AS gram
+  FROM w WHERE len(words) >= 3
+), e AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+), t AS (
+  SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM t JOIN e USING (gram) GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _mixture_oracle() -> str:
+    """Mixture oracle: n_copies from the same integer (epochs,
+    threshold) pairs the engine compiles (split.mixture_sample_sql),
+    epochs materialized by unnesting a range list."""
+    from code_index_spark.operators.split import mixture_sample_sql
+
+    n_expr, _ = mixture_sample_sql("doc_id", "source", _MIX_RATES, _MIX_DEFAULT)
+    return (
+        "SELECT doc_id, source,"
+        " CAST(unnest([e for e in range(0, n_copies)]) AS INT) AS epoch"
+        f" FROM (SELECT doc_id, source, {n_expr} AS n_copies FROM documents)"
+        " ORDER BY doc_id, epoch"
+    )
+
+
+def _pii_oracle() -> str:
+    """PII oracle generated from the SAME pattern table the engine
+    uses (operators/pii.py PII_PATTERNS); DuckDB regexp_replace needs
+    the explicit 'g' flag to replace all (Spark always does)."""
+    from code_index_spark.operators.pii import PII_PATTERNS
+
+    planted = (
+        "SELECT doc_id, text"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||"
+        " CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' from host 10.' ||"
+        " CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN ' tel 555-123-4567'"
+        " ELSE '' END AS t0 FROM documents"
+    )
+    sql = "WITH p0 AS (" + planted + ")"
+    prev = "p0"
+    carried = []
+    for i, (name, pat, token) in enumerate(PII_PATTERNS):
+        nxt = f"p{i + 1}"
+        cols = ", ".join(carried) + (", " if carried else "")
+        sql += (
+            f", {nxt} AS (SELECT doc_id, {cols}"
+            f"CAST(len(regexp_extract_all(t{i}, '{pat}')) AS INT) AS n_{name},"
+            f" regexp_replace(t{i}, '{pat}', '{token}', 'g') AS t{i + 1}"
+            f" FROM {prev})"
+        )
+        carried.append(f"n_{name}")
+        prev = nxt
+    n = len(PII_PATTERNS)
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    sql += (
+        f" SELECT doc_id, {', '.join(carried)},"
+        f" ({total}) > 0 AS has_pii, t{n} AS redacted"
+        f" FROM {prev} ORDER BY doc_id"
+    )
+    return sql
 
 def _py_norm(s: str) -> str:
     import re as _re
@@ -2322,6 +2468,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_docs": _LANG_ORACLE,
         "doc_quality": _QUALITY_ORACLE,
         "repetition_docs": _REPETITION_ORACLE,
+        "decontaminate_docs": _DECONTAM_ORACLE,
+        "pii_docs": _pii_oracle(),
+        "mixture_sample_docs": _mixture_oracle(),
         "token_counts": (
             "SELECT doc_id,"
             " CAST(CASE WHEN length(trim(text)) = 0 THEN 0"

@@ -126,19 +126,11 @@ def repetition_features(df: DataFrame, text_col: str, gram_n: int = 2) -> DataFr
     dup_word_frac = F.when(
         n_words > 0, F.lit(1.0) - n_distinct / n_words
     ).otherwise(F.lit(0.0))
-    # gram build via chained zip_with against shifted copies: ONE pass
-    # per shift. The obvious transform(sequence, i → concat_ws(slice))
-    # allocates a fresh slice per gram — O(n·gram_n) array copies —
-    # and measured 8.1 s vs 1.5 s for this form on 17.4M grams
-    # (600k docs × 29). zip_with pads the shorter side with null and
-    # ANSI concat propagates it, so the <gram_n tails null out and one
-    # array_compact trims them; inputs shorter than gram_n yield [].
-    n_raw = F.size(words)
-    grams = words
-    for k in range(2, gram_n + 1):
-        shifted = F.slice(words, k, F.greatest(n_raw - (k - 1), F.lit(1)))
-        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    grams = F.array_compact(grams)
+    # chained-zip_with gram build (measured 8.1 s → 1.5 s over the
+    # transform+slice form on 17.4M grams = 600k docs × 29)
+    from ..functions.textfns import word_grams
+
+    grams = word_grams(words, gram_n)
     # longest equal-adjacent run over the sorted grams == mode count
     zero = F.struct(
         F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")

@@ -363,6 +363,85 @@ def test_repetition_features(spark):
     assert out3[0] == 0.666667 and out3[4] == 0.5
 
 
+def test_decontaminate(spark):
+    from code_index_spark.operators.decontam import decontaminate
+
+    ev = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma zzz"),            # shares 1 gram
+            (11, "xx alpha beta gamma delta yy"),    # shares both
+            (12, "nothing in common here at all"),   # clean
+            (13, "beta gamma"),                      # too short for 3-grams
+            (14, "alpha beta gamma alpha beta gamma"),  # dup gram counts once
+        ],
+        "doc_id long, text string",
+    )
+    out = decontaminate(tr, ev, "doc_id", "text", gram_n=3)
+    got = {r["doc_id"]: r["n_shared_grams"] for r in out.collect()}
+    assert got == {10: 1, 11: 2, 14: 1}
+    # scale shape: the eval gram set must broadcast (corpus-side scan
+    # is filtered map-side, no corpus shuffle before the match filter)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_features_and_redaction(spark):
+    from code_index_spark.operators.pii import pii_features, redact_pii
+
+    rows = [
+        (0, "mail a.b-c+x@sub.example.org or b@x.io now"),   # 2 emails
+        (1, "server 192.168.0.1 and 10.0.0.255 up"),         # 2 ips
+        (2, "call 555-123-4567 or +4915112345678"),          # 2 phones
+        (3, "555-123-4567@phone.example.com only"),          # email eats digits
+        (4, "clean text with no sensitive content"),
+        (5, "version 1.2.3 of 4 things"),                    # NOT an ip
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           redact_pii(pii_features(df, "text"), "text").collect()}
+    assert (out[0]["n_emails"], out[0]["n_ipv4"], out[0]["n_phones"]) == (2, 0, 0)
+    assert out[0]["redacted"] == "mail <EMAIL> or <EMAIL> now"
+    assert (out[1]["n_ipv4"], out[1]["has_pii"]) == (2, True)
+    assert out[1]["redacted"] == "server <IP> and <IP> up"
+    assert out[2]["n_phones"] == 2
+    assert out[2]["redacted"] == "call <PHONE> or <PHONE>"
+    # progressive redaction: the email is consumed BEFORE the phone
+    # pattern sees its digit run — no double count
+    assert (out[3]["n_emails"], out[3]["n_phones"]) == (1, 0)
+    assert out[3]["redacted"] == "<EMAIL> only"
+    assert not out[4]["has_pii"]
+    assert out[5]["n_ipv4"] == 0 and not out[5]["has_pii"]
+
+
+def test_mixture_sample(spark):
+    from code_index_spark.operators.split import mixture_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("src"),
+    )
+    rates = {"s0": 3.0, "s1": 1.5, "s2": 0.5, "s3": 0.0}
+    out = mixture_sample(df, "doc_id", "src", rates).cache()
+    per = {r["src"]: r for r in out.groupBy("src").agg(
+        F.count("*").alias("copies"),
+        F.countDistinct("doc_id").alias("docs"),
+        F.max("epoch").alias("max_epoch")).collect()}
+    # whole-epoch strata are exact: every doc gets exactly 3 copies
+    assert per["s0"]["copies"] == 1500 and per["s0"]["docs"] == 500
+    assert per["s0"]["max_epoch"] == 2
+    # fractional strata: every doc has 1 or 2 copies, rate ≈ 1.5
+    assert per["s1"]["docs"] == 500 and 650 <= per["s1"]["copies"] <= 850
+    assert 175 <= per["s2"]["copies"] <= 325 and per["s2"]["max_epoch"] == 0
+    # rate 0 drops the stratum entirely
+    assert "s3" not in per
+    # deterministic: same draw after an arbitrary repartition
+    again = mixture_sample(df.repartition(7), "doc_id", "src", rates)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
 def test_fingerprint_deterministic_and_discriminative(spark, docs):
     fp = {r["id"]: r["fingerprint"] for r in fingerprint(docs, "doc_id", "text").collect()}
     assert fp[0] == fp[1]
