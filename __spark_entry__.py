@@ -1053,6 +1053,59 @@ def _q_repetition_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _planted_prepare_docs(docs):
+    """Documents with PII planted by TEXT-HASH parity (not doc_id),
+    so identical texts receive identical suffixes and the exact-dup
+    groups the curation stage must find survive the planting; the
+    oracle re-derives the same suffixes from md5(text)."""
+    from code_index_spark.functions.textfns import hash60
+
+    ph = hash60(F.col("text"))
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(ph % 7 == 0, F.lit(" contact user@example.com"))
+             .otherwise(F.lit("")),
+            F.when(ph % 11 == 0, F.lit(" from host 10.7.0.1"))
+             .otherwise(F.lit("")),
+            F.when(ph % 13 == 0, F.lit(" tel 555-123-4567"))
+             .otherwise(F.lit("")),
+        ),
+    )
+
+
+def _prepare_inputs(spark, sf_dir):
+    """(train, eval) slices for the composed corpus-prepare queries:
+    PII planted by text hash, eval suite = the doc_id % 97 == 0 slice
+    (the decontaminate_docs construction), gram_n=3 for the same
+    small-vocabulary reason documented there."""
+    tbl = load_tables(spark, sf_dir)
+    docs = _planted_prepare_docs(tbl["documents"])
+    return (docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0))
+
+
+def _q_corpus_prepare_labels(spark, sf_dir):
+    """The composed corpus-preparation pipeline, per-doc audit row:
+    curation → decontamination → PII scrub → split, one reason per doc
+    under the priority policy (operators/prepare.py), value-hashed
+    against a DuckDB re-derivation of the full composition."""
+    from code_index_spark.operators.prepare import prepare_corpus
+
+    tr, ev = _prepare_inputs(spark, sf_dir)
+    return prepare_corpus(tr, ev, decontam_gram_n=3).orderBy("doc_id")
+
+
+def _q_corpus_prepare_summary(spark, sf_dir):
+    """The run report of the composed pipeline: docs/chars/PII-doc
+    counts per (reason, split)."""
+    from code_index_spark.operators.prepare import prepare_summary
+
+    tr, ev = _prepare_inputs(spark, sf_dir)
+    return prepare_summary(tr, ev, decontam_gram_n=3)
+
+
 # ---------------------------------------------------------------------------
 # queries — non-SQL-expressible pipeline stages (rows-only checks)
 # ---------------------------------------------------------------------------
@@ -1338,6 +1391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs_blocked": _q_embedding_dup_pairs_blocked,
         "curation_summary": _q_curation_summary,
         "curation_labels": _q_curation_labels,
+        "corpus_prepare_labels": _q_corpus_prepare_labels,
+        "corpus_prepare_summary": _q_corpus_prepare_summary,
         "dataset_split": _q_dataset_split,
         "lang_id_docs": _q_lang_id_docs,
         "doc_quality": _q_doc_quality,
@@ -1376,12 +1431,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_stats": _q_catalog_stats,
         "multi_corpus_union": _q_multi_corpus_union,
         "turns_per_role": _q_turns_per_role,
-        # relational core flagships
-        "q1_pricing": _q_q1_pricing,
-        "q3_top_revenue": _q_q3_top_revenue,
         # --- driver 50-query sample window ends here (position 50);
         # everything below is driver-green from earlier rounds or
         # rows-only, and the `-m slow` sweep re-checks all of it ---
+        # relational core flagships
+        "q1_pricing": _q_q1_pricing,
+        "q3_top_revenue": _q_q3_top_revenue,
         "q17_small_qty_revenue": _q_q17_small_qty_revenue,
         "q22_idle_customers": _q_q22_idle_customers,
         "top_parts_per_brand": _q_top_parts_per_brand,
@@ -1440,14 +1495,21 @@ ORDER BY id_a, id_b
 """
 
 
-_DOC_GRAMS_CTE = """
+def _doc_grams_cte(doc_src: str = "documents") -> str:
+    """Word-3-gram CTE body, parameterized on the doc source so the
+    composed-pipeline oracles can run it over filtered/planted
+    subqueries."""
+    return f"""
   SELECT id, unnest(list_distinct(
            [array_to_string(words[i:i+2], ' ')
             for i in range(1, greatest(len(words)-2, 1) + 1)])) AS g
   FROM (SELECT doc_id AS id,
                string_split_regex(trim(text), '\\s+') AS words
-        FROM documents)
+        FROM {doc_src})
 """
+
+
+_DOC_GRAMS_CTE = _doc_grams_cte()
 
 
 def _minhash_candidates_oracle(num_tables: int) -> str:
@@ -1481,6 +1543,14 @@ def _curation_oracle(per_doc: bool = False) -> str:
         " CAST(sum(doc_chars) AS BIGINT) AS n_chars"
         " FROM labeled GROUP BY reason ORDER BY reason"
     )
+    return f"WITH {_curation_ctes()}\n{final_select}\n"
+
+
+def _curation_ctes(doc_src: str = "documents") -> str:
+    """The shared curation CTE chain (grams → near/exact reject sets →
+    quality → language → labeled), parameterized on the doc source so
+    the composed corpus-prepare oracle can run it over a
+    filtered/planted subquery. Returns the body AFTER `WITH`."""
     score = (
         "round((CASE WHEN n_words >= 5 AND n_words <= 100000 THEN 0.4 ELSE 0.0 END)"
         " + (CASE WHEN n_words > 0 AND n_chars * 1.0 / n_words >= 2.0"
@@ -1489,8 +1559,7 @@ def _curation_oracle(per_doc: bool = False) -> str:
         "      ELSE 0.0 END) <= 0.1 THEN 0.1 ELSE 0.0 END)"
         " + (CASE WHEN stopword_hits > 0 THEN 0.2 ELSE 0.0 END), 2)"
     )
-    return f"""
-WITH grams AS ({_DOC_GRAMS_CTE}),
+    return f"""grams AS ({_doc_grams_cte(doc_src)}),
 sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
@@ -1505,7 +1574,7 @@ near AS (
 ex AS (
   SELECT doc_id FROM (
     SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
-    FROM documents
+    FROM {doc_src}
   ) WHERE doc_id <> keep
 ),
 qf AS (
@@ -1518,7 +1587,7 @@ qf AS (
            len(list_intersect(
                list_distinct([lower(w) for w in string_split_regex(trim(text), '\\s+')]),
                ['the','and','of','to','a','in'])) AS stopword_hits
-    FROM documents)
+    FROM {doc_src})
 ),
 lg AS (
   SELECT doc_id, CASE
@@ -1531,7 +1600,7 @@ lg AS (
                {_lang_hits('en')} AS h_en, {_lang_hits('es')} AS h_es,
                {_lang_hits('fr')} AS h_fr, {_lang_hits('de')} AS h_de
         FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
-              FROM documents))
+              FROM {doc_src}))
 )
 , labeled AS (
   SELECT d.doc_id, length(d.text) AS doc_chars,
@@ -1540,8 +1609,88 @@ lg AS (
          WHEN f.quality_score < 0.7 THEN 'low_quality'
          WHEN l.pred_lang <> 'en' THEN 'non_en'
          ELSE 'keep' END AS reason
-  FROM documents d
+  FROM {doc_src} d
   JOIN qf f USING (doc_id) JOIN lg l USING (doc_id)
+)"""
+
+
+def _pii_flag_select(src: str) -> str:
+    """SELECT computing (doc_id, has_pii) over `src` with the same
+    progressive-redaction counting as operators/pii.pii_features,
+    generated from the shared PII_PATTERNS table."""
+    from code_index_spark.operators.pii import PII_PATTERNS
+
+    inner = f"SELECT doc_id, text AS t0 FROM {src}"
+    carried: list[str] = []
+    for i, (name, pat, token) in enumerate(PII_PATTERNS):
+        cols = ", ".join(carried) + (", " if carried else "")
+        inner = (
+            f"SELECT doc_id, {cols}"
+            f"len(regexp_extract_all(t{i}, '{pat}')) AS n_{name},"
+            f" regexp_replace(t{i}, '{pat}', '{token}', 'g') AS t{i + 1}"
+            f" FROM ({inner})"
+        )
+        carried.append(f"n_{name}")
+    total = " + ".join(carried)
+    return f"SELECT doc_id, ({total}) > 0 AS has_pii FROM ({inner})"
+
+
+def _prepare_oracle(per_doc: bool = False) -> str:
+    """DuckDB twin of the COMPOSED corpus-preparation pipeline
+    (operators/prepare.py): the curation CTE chain over the planted
+    train slice, the decontaminate_docs gram-overlap CTEs over the
+    full planted corpus, the progressive-redaction PII flag, and the
+    split.hash_split bucket CASE — one reason per doc under the same
+    priority (exact_dup > near_dup > contaminated > low_quality >
+    non_en > keep). PII is planted by TEXT-HASH parity so exact-dup
+    groups survive the planting (see _planted_prepare_docs)."""
+    from code_index_spark.operators.split import split_sql_case
+
+    h = "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)"
+    planted = (
+        "SELECT doc_id, text"
+        f" || CASE WHEN {h} % 7 = 0 THEN ' contact user@example.com' ELSE '' END"
+        f" || CASE WHEN {h} % 11 = 0 THEN ' from host 10.7.0.1' ELSE '' END"
+        f" || CASE WHEN {h} % 13 = 0 THEN ' tel 555-123-4567' ELSE '' END"
+        " AS text FROM documents"
+    )
+    final_select = (
+        "SELECT doc_id, reason, split, has_pii,"
+        " CAST(doc_chars AS INT) AS doc_chars"
+        " FROM plabeled ORDER BY doc_id"
+        if per_doc else
+        "SELECT reason, split, count(*) AS n_docs,"
+        " CAST(sum(doc_chars) AS BIGINT) AS n_chars,"
+        " CAST(sum(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_pii_docs"
+        " FROM plabeled GROUP BY reason, split ORDER BY reason, split"
+    )
+    return f"""
+WITH pd AS ({planted}),
+tr AS (SELECT doc_id, text FROM pd WHERE doc_id % 97 <> 0),
+{_curation_ctes("tr")},
+dw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM pd),
+dg AS (
+  SELECT doc_id, unnest(list_distinct(
+      [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)])) AS gram
+  FROM dw WHERE len(words) >= 3
+),
+evg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
+contam AS (
+  SELECT DISTINCT doc_id FROM dg JOIN evg USING (gram) WHERE doc_id % 97 <> 0
+),
+pii AS ({_pii_flag_select("tr")}),
+plabeled AS (
+  SELECT d.doc_id, length(d.text) AS doc_chars, p.has_pii,
+    CASE WHEN d.doc_id IN (SELECT doc_id FROM ex) THEN 'exact_dup'
+         WHEN d.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+         WHEN d.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+         WHEN f.quality_score < 0.7 THEN 'low_quality'
+         WHEN l.pred_lang <> 'en' THEN 'non_en'
+         ELSE 'keep' END AS reason,
+    {split_sql_case('d.doc_id')} AS split
+  FROM tr d JOIN qf f USING (doc_id) JOIN lg l USING (doc_id)
+  JOIN pii p USING (doc_id)
 )
 {final_select}
 """
@@ -2464,6 +2613,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": simhash_pairs_sql(6),
         "curation_summary": _curation_oracle(),
         "curation_labels": _curation_oracle(per_doc=True),
+        "corpus_prepare_labels": _prepare_oracle(per_doc=True),
+        "corpus_prepare_summary": _prepare_oracle(per_doc=False),
         "dataset_split": _dataset_split_oracle(),
         "lang_id_docs": _LANG_ORACLE,
         "doc_quality": _QUALITY_ORACLE,

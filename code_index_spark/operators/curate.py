@@ -31,6 +31,35 @@ from .dedupe import exact_duplicates, minhash_verified_pairs
 from .textstats import lang_id, quality_features
 
 
+def reject_sets(
+    docs: DataFrame,
+    near_dup_threshold: float = 0.8,
+    near_dup_max_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The two duplicate reject sets over a (doc_id, text) corpus:
+    (exact_removed, near_removed), each a (doc_id, marker) table whose
+    rows are the non-survivor documents (min-id survivor policy; for
+    verified near-dup pairs id_a < id_b, id_b is removed). Shared by
+    curation_labels and prepare.prepare_corpus so the survivor policy
+    has one source."""
+    ex = exact_duplicates(docs, "doc_id", "text")
+    exact_removed = (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .join(ex.select("text_hash", "keep_id"), "text_hash")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+        .withColumn("r_exact", F.lit(1))
+    )
+    near_removed = (
+        minhash_verified_pairs(docs, "doc_id", "text", threshold=near_dup_threshold,
+                               max_bucket=near_dup_max_bucket)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("r_near", F.lit(1))
+    )
+    return exact_removed, near_removed
+
+
 def curation_labels(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -48,20 +77,8 @@ def curation_labels(
     should set it (~1000) or the candidate join goes quadratic in the
     clique size (measured in operators/dedupe.minhash_band_candidates)."""
     docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    ex = exact_duplicates(docs, "doc_id", "text")
-    exact_removed = (
-        docs.select(F.md5("text").alias("text_hash"), "doc_id")
-        .join(ex.select("text_hash", "keep_id"), "text_hash")
-        .filter(F.col("doc_id") != F.col("keep_id"))
-        .select("doc_id")
-        .withColumn("r_exact", F.lit(1))
-    )
-    near_removed = (
-        minhash_verified_pairs(docs, "doc_id", "text", threshold=near_dup_threshold,
-                               max_bucket=near_dup_max_bucket)
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-        .withColumn("r_near", F.lit(1))
+    exact_removed, near_removed = reject_sets(
+        docs, near_dup_threshold, near_dup_max_bucket
     )
     feat = quality_features(docs, "text")
     langs = lang_id(docs, "text")

@@ -1,0 +1,137 @@
+"""Composed corpus preparation — the full pretraining-data pass over a
+raw corpus as ONE operator: curation (exact dedupe → minhash-verified
+near-dup removal → quality filter → language filter) → benchmark
+decontamination against an eval suite → PII scrub → deterministic
+train/val/test assignment. This is the pipeline a 100 TB run actually
+executes end-to-end; the stages are the individually-oracled operators
+(curate.reject_sets, decontam.decontaminate, pii.pii_features,
+split.hash_split, textstats.quality_features/lang_id) composed under
+one reason-priority policy, and the whole composition carries a full
+DuckDB value-hash oracle (driver rows `corpus_prepare_labels` /
+`corpus_prepare_summary`).
+
+Reason priority (first rejecting stage wins):
+    exact_dup > near_dup > contaminated > low_quality > non_en > keep
+Contamination sits between dedup and the per-row filters: a duplicate
+is removed for being a duplicate whether or not it also overlaps the
+eval suite, while a contaminated doc must never reach training even if
+its quality is also low — ordering the reasons this way makes the
+summary's `contaminated` row the complete leak count among surviving
+unique docs.
+
+Scale shape (the part that matters at 100 TB):
+  - ONE corpus scan computes every per-row signal — PII counts,
+    quality features, language vote, split bucket — as chained
+    WholeStageCodegen projections (each stage is withColumn-shaped, so
+    they fuse; no Python workers anywhere).
+  - The corpus crosses the wire only in the dedup stages (md5
+    hash-groupBy; minhash banding linear in bucket sizes) — the same
+    invariant as curate.py.
+  - The eval-suite gram set is broadcast inside decontaminate (eval
+    suites are bounded by construction); the three reject-set joins
+    carry NO broadcast hint — their size is duplication-/leak-rate-
+    dependent, so AQE picks the strategy (round-4 ADVICE discipline).
+  - Split assignment is a pure function of (doc_id, salt): zero
+    shuffle, reproducible across runs/engines/partitionings, and the
+    `split` column partition-prunes the downstream corpus write.
+
+Reference parity: code-index runs its per-file pipeline (ignore-filter
+→ parse → extract → embed → upsert) as one orchestrated pass
+(indexing_orchestrator.py:60-140); prepare_corpus is the corpus-scale
+counterpart with the training-data stages in place of embed/upsert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .curate import reject_sets
+from .decontam import decontaminate
+from .pii import pii_features
+from .split import hash_split
+from .textstats import lang_id, quality_features
+
+REASONS = ("exact_dup", "near_dup", "contaminated", "low_quality",
+           "non_en", "keep")
+
+
+def prepare_corpus(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_dup_threshold: float = 0.8,
+    min_quality: float = 0.7,
+    keep_lang: str = "en",
+    decontam_gram_n: int = 8,
+    decontam_min_matches: int = 1,
+    fractions: dict[str, float] | None = None,
+    split_salt: str = "split-v1",
+    near_dup_max_bucket: int | None = None,
+) -> DataFrame:
+    """(doc_id, reason, split, has_pii, doc_chars) per training doc.
+
+    `reason` is the first rejecting stage (priority above); `split` is
+    the doc's deterministic hash_split assignment (computed for every
+    doc — it is a pure function of (doc_id, salt) — so downstream
+    consumers filter reason = 'keep' and group by split); `has_pii`
+    flags docs whose text matched any pii.PII_PATTERNS class (the
+    publishable corpus is the keep-set joined back to
+    pii.redact_pii's output).
+
+    near_dup_max_bucket → dedupe.minhash_verified_pairs stop-bucket
+    cap; crawl corpora with boilerplate cliques should set it (~1000),
+    see curate.curation_labels."""
+    docs = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias("text"))
+    ev = eval_df.select(F.col(text_col).alias("text"))
+    exact_removed, near_removed = reject_sets(
+        docs, near_dup_threshold, near_dup_max_bucket
+    )
+    contam = (
+        decontaminate(docs, ev, "doc_id", "text", gram_n=decontam_gram_n)
+        .filter(F.col("n_shared_grams") >= decontam_min_matches)
+        .select("doc_id")
+        .withColumn("r_contam", F.lit(1))
+    )
+    # every per-row signal in one fused projection chain over one scan
+    perrow = hash_split(
+        lang_id(quality_features(pii_features(docs, "text"), "text"), "text"),
+        "doc_id", fractions, split_salt,
+    ).select(
+        "doc_id", F.length("text").alias("doc_chars"),
+        "quality_score", "pred_lang", "has_pii", "split",
+    )
+    base = (
+        perrow
+        .join(exact_removed, "doc_id", "left")
+        .join(near_removed, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+    )
+    reason = (
+        F.when(F.col("r_exact") == 1, "exact_dup")
+        .when(F.col("r_near") == 1, "near_dup")
+        .when(F.col("r_contam") == 1, "contaminated")
+        .when(F.col("quality_score") < min_quality, "low_quality")
+        .when(F.col("pred_lang") != keep_lang, "non_en")
+        .otherwise("keep")
+    )
+    return base.select(
+        "doc_id", reason.alias("reason"), "split", "has_pii", "doc_chars"
+    )
+
+
+def prepare_summary(df: DataFrame, eval_df: DataFrame, **kwargs) -> DataFrame:
+    """(reason, split, n_docs, n_chars, n_pii_docs) — the run report a
+    pipeline operator reads: what survived, where it landed, how much
+    was scrubbed."""
+    return (
+        prepare_corpus(df, eval_df, **kwargs)
+        .groupBy("reason", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_chars").cast("long").alias("n_chars"),
+            F.sum(F.col("has_pii").cast("int")).cast("long").alias("n_pii_docs"),
+        )
+        .orderBy("reason", "split")
+    )

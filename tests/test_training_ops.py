@@ -475,6 +475,47 @@ def test_curation_reason_priority(spark):
     assert summary["exact_dup"] == (1, len(good))
 
 
+def test_prepare_corpus_composition(spark):
+    """Composed corpus preparation (operators/prepare.py): every
+    stage of curation → decontamination → PII scrub → split fires on
+    a constructed corpus; contamination outranks the per-row filters
+    (a contaminated low-quality doc labels 'contaminated') but not
+    dedup; the split column equals hash_split's pure-function
+    assignment; labels are partition-invariant."""
+    from code_index_spark.operators.prepare import prepare_corpus
+    from code_index_spark.operators.split import hash_split
+
+    good = "the quick brown fox and the lazy dog of the meadow in town"
+    piiish = ("ping the code and test the data of the trade in main then"
+              " email me at user@example.org now")
+    rows = [
+        (0, good),                     # keep
+        (1, good),                     # byte-identical → exact_dup
+        (2, good + " tonight"),        # near_dup
+        (3, "x"),                      # low_quality
+        (4, "el la de el la de uno dos tres cuatro cinco seis"),  # non_en
+        (5, "alpha beta gamma"),       # contaminated AND low-quality
+        (6, piiish),                   # keep, has_pii
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    out = prepare_corpus(docs, ev, decontam_gram_n=3).collect()
+    labels = {r["doc_id"]: r["reason"] for r in out}
+    assert labels == {0: "keep", 1: "exact_dup", 2: "near_dup",
+                      3: "low_quality", 4: "non_en", 5: "contaminated",
+                      6: "keep"}
+    pii = {r["doc_id"]: r["has_pii"] for r in out}
+    assert pii[6] is True and pii[0] is False
+    splits = {r["doc_id"]: r["split"] for r in out}
+    expected = {r["doc_id"]: r["split"]
+                for r in hash_split(docs, "doc_id").collect()}
+    assert splits == expected
+    again = prepare_corpus(docs.repartition(5), ev, decontam_gram_n=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_hash_split_deterministic_and_partition_invariant(spark):
     """hash_split (operators/split.py): assignment is a pure function
     of (id, salt) — identical across partitionings and runs (the
