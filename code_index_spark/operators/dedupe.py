@@ -100,8 +100,18 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     count (any real corpus) skip the shuffle."""
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     sc = df.sparkSession.sparkContext
-    if base.rdd.getNumPartitions() < sc.defaultParallelism:
-        base = base.repartition(sc.defaultParallelism)
+    width = sc.defaultParallelism
+    # narrowness probe: inputFiles() reads the analyzed plan's file
+    # scans without instantiating the RDD lineage (df.rdd pays physical
+    # planning on the driver); a few-file scan is exactly the
+    # one-partition hazard. Over-triggering is benign — the shuffle
+    # moves only the cheap (id, text) projection — so non-file inputs
+    # (ranges, local relations) fall back to the RDD probe.
+    n_files = len(base.inputFiles())
+    if 0 < n_files < width:
+        base = base.repartition(width)
+    elif n_files == 0 and base.rdd.getNumPartitions() < width:
+        base = base.repartition(width)
     return base.select(
         "id", word_ngrams(F.col("text"), n).alias("grams")
     ).filter(F.size("grams") > 0)
