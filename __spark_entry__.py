@@ -1053,6 +1053,20 @@ def _q_repetition_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_dup_window_docs(spark, sf_dir):
+    """Cross-doc duplicated-window (passage) statistics, the
+    exact-substring-dedup signal; window=4 because the synthetic
+    corpus's small vocabulary makes 8-windows collision-free (the
+    decontaminate_docs rationale) while 3-windows saturate (500/500
+    docs flagged) — 4 splits the corpus 368/500 at sf0.01."""
+    from code_index_spark.operators.dedupe import duplicated_window_stats
+
+    tbl = load_tables(spark, sf_dir)
+    return duplicated_window_stats(
+        tbl["documents"], "doc_id", "text", window=4
+    ).orderBy("doc_id")
+
+
 def _planted_prepare_docs(docs):
     """Documents with PII planted by TEXT-HASH parity (not doc_id),
     so identical texts receive identical suffixes and the exact-dup
@@ -1402,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_docs": _q_mixture_sample_docs,
         "token_counts": _q_token_counts,
         "fingerprint_docs": _q_fingerprint_docs,
+        "dup_window_docs": _q_dup_window_docs,
         # event-time joins
         "events_prior_clicks": _q_events_prior_clicks,
         "prior_clicks_stream_twin": _q_prior_clicks_stream_twin,
@@ -1430,10 +1445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_stats": _q_paragraph_stats,
         "catalog_stats": _q_catalog_stats,
         "multi_corpus_union": _q_multi_corpus_union,
-        "turns_per_role": _q_turns_per_role,
         # --- driver 50-query sample window ends here (position 50);
         # everything below is driver-green from earlier rounds or
         # rows-only, and the `-m slow` sweep re-checks all of it ---
+        "turns_per_role": _q_turns_per_role,
         # relational core flagships
         "q1_pricing": _q_q1_pricing,
         "q3_top_revenue": _q_q3_top_revenue,
@@ -1790,6 +1805,41 @@ SELECT doc_id, n_words, dup_word_frac, top_gram_frac,
        (dup_word_frac > {DUP_WORD_FRAC_MAX}
         OR top_gram_frac > {TOP_GRAM_FRAC_MAX}) AS repetitive
 FROM r ORDER BY doc_id
+"""
+
+def _dup_window_oracle(window: int) -> str:
+    """Duplicated-window oracle: window strings joined raw where the
+    engine joins hash60 longs (same counts — the decontam collision
+    argument); COALESCE covers docs with no duplicated window, CASE
+    covers docs too short to have windows at all."""
+    w1 = window - 1
+    return rf"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
+), b AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= {window} THEN len(words) - {w1}
+              ELSE 0 END AS n_windows
+  FROM w
+), pos AS (
+  SELECT doc_id, unnest(
+      [array_to_string(words[i:i+{w1}], ' ')
+       for i in range(1, len(words) - {w1} + 1)]) AS g
+  FROM w WHERE len(words) >= {window}
+), cnt AS (
+  SELECT doc_id, g, count(*) AS n_pos FROM pos GROUP BY 1, 2
+), dup AS (
+  SELECT g FROM cnt GROUP BY g HAVING count(*) >= 2
+), agg AS (
+  SELECT doc_id, CAST(sum(n_pos) AS BIGINT) AS nd
+  FROM cnt JOIN dup USING (g) GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n_windows AS INT) AS n_windows,
+       CAST(COALESCE(a.nd, 0) AS BIGINT) AS n_dup_windows,
+       round(CASE WHEN b.n_windows > 0
+                  THEN COALESCE(a.nd, 0) * 1.0 / b.n_windows
+                  ELSE 0.0 END, 6) AS dup_window_frac
+FROM b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id
 """
 
 # Decontamination oracle: same eval/train slices and 3-gram windows;
@@ -2620,6 +2670,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _QUALITY_ORACLE,
         "repetition_docs": _REPETITION_ORACLE,
         "decontaminate_docs": _DECONTAM_ORACLE,
+        "dup_window_docs": _dup_window_oracle(window=4),
         "pii_docs": _pii_oracle(),
         "mixture_sample_docs": _mixture_oracle(),
         "token_counts": (

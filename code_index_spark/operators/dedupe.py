@@ -89,6 +89,87 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------- cross-doc duplicated windows
+def duplicated_window_stats(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> DataFrame:
+    """Per-doc duplicated-PASSAGE statistics — the exact-substring-dedup
+    signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better") at word-window granularity, the filter
+    RefinedWeb/Dolma apply alongside whole-doc dedup:
+
+      n_windows      — sliding `window`-word shingle positions
+      n_dup_windows  — positions whose shingle also occurs in ANOTHER
+                       doc (cross-doc; intra-doc repeats alone don't
+                       count — that's textstats.repetition_features)
+      dup_window_frac— n_dup_windows / n_windows (0.0 when no windows)
+
+    Scale shape — the TEXT is scanned exactly once: positions collapse
+    to (doc, window-hash, n_pos) in a map-side partial agg, the
+    cross-doc document count is a window function over the hash
+    partition on that collapsed table (one exchange of 8-byte hash60
+    longs — never text; collisions across a corpus' window universe
+    are ~1e-12 at 60 bits, the decontam argument; the DuckDB oracle
+    joins raw window strings — same counts), and n_windows per doc
+    falls out of the SAME aggregation as sum(n_pos), so no second
+    text scan is needed. (A first formulation derived the duplicated
+    set by self-join; column pruning de-canonicalized the shared
+    subtree, Catalyst could not reuse the exchange, and the corpus
+    explode ran twice — 6 scans in the physical plan.) The only other
+    input touch is a column-pruned id scan resurrecting docs too short
+    to emit windows (frac 0.0).
+
+    Reference parity: code-index dedupes at whole-chunk granularity
+    via point-id hashing (vector_store.py:203-210); passage-level
+    duplication is the corpus-scale refinement."""
+    from ..functions.textfns import hash60
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(
+        F.size(words)
+    )
+    n_win = F.greatest(n_words - (window - 1), F.lit(0))
+    # sequence(1, 0) DESCENDS in Spark ([1, 0]) — guard the no-window
+    # case or short docs emit bogus partial windows
+    wins = F.when(
+        n_win > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: hash60(F.concat_ws(" ", F.slice(words, i, window))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    pos = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(wins).alias("gh"))
+        .groupBy("doc_id", "gh")
+        .agg(F.count("*").alias("n_pos"))
+    )
+    marked = pos.withColumn(
+        "n_docs_with", F.count("*").over(Window.partitionBy("gh"))
+    )
+    stats = marked.groupBy("doc_id").agg(
+        F.sum("n_pos").cast("int").alias("n_windows"),
+        F.sum(
+            F.when(F.col("n_docs_with") >= 2, F.col("n_pos")).otherwise(0)
+        ).cast("long").alias("n_dup_windows"),
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        ids.join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0).cast("long"))
+             .alias("n_dup_windows"),
+            F.round(
+                F.when(F.coalesce(F.col("n_windows"), F.lit(0)) > 0,
+                       F.coalesce(F.col("n_dup_windows"), F.lit(0))
+                       / F.col("n_windows"))
+                .otherwise(F.lit(0.0)), 6,
+            ).alias("dup_window_frac"),
+        )
+    )
+
+
 # ----------------------------------------------------------- minhash-lsh
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, grams) with the narrow-input spread applied BEFORE the gram

@@ -68,6 +68,7 @@ def prepare_corpus(
     fractions: dict[str, float] | None = None,
     split_salt: str = "split-v1",
     near_dup_max_bucket: int | None = None,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """(doc_id, reason, split, has_pii, doc_chars) per training doc.
 
@@ -81,7 +82,17 @@ def prepare_corpus(
 
     near_dup_max_bucket → dedupe.minhash_verified_pairs stop-bucket
     cap; crawl corpora with boilerplate cliques should set it (~1000),
-    see curate.curation_labels."""
+    see curate.curation_labels.
+
+    checkpoint=True eagerly localCheckpoints the three (small) reject
+    sets, truncating the minhash-banding subtree out of the final
+    plan: every AQE stage re-plan then walks a 3-leaf join instead of
+    the full banding tree. Worth it on large corpora (measured in
+    bench/prepare_scale.py); leave False for small/oracle runs, where
+    the 3 extra eager jobs cost more than the analysis they save
+    (~1-2s fixed per job in this sandbox), and where executor loss
+    would fail the job instead of recomputing (the
+    functions/minhash.py truncation caveat)."""
     docs = df.select(F.col(id_col).alias("doc_id"),
                      F.col(text_col).alias("text"))
     ev = eval_df.select(F.col(text_col).alias("text"))
@@ -94,6 +105,10 @@ def prepare_corpus(
         .select("doc_id")
         .withColumn("r_contam", F.lit(1))
     )
+    if checkpoint:
+        exact_removed = exact_removed.localCheckpoint(eager=True)
+        near_removed = near_removed.localCheckpoint(eager=True)
+        contam = contam.localCheckpoint(eager=True)
     # every per-row signal in one fused projection chain over one scan
     perrow = hash_split(
         lang_id(quality_features(pii_features(docs, "text"), "text"), "text"),

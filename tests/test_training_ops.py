@@ -475,6 +475,38 @@ def test_curation_reason_priority(spark):
     assert summary["exact_dup"] == (1, len(good))
 
 
+def test_duplicated_window_stats(spark):
+    """Cross-doc duplicated windows (operators/dedupe.py): only
+    windows shared ACROSS docs count (intra-doc repeats alone don't —
+    that's repetition_features); every position of a duplicated window
+    counts toward the fraction; docs shorter than the window emit zero
+    windows and survive with frac 0."""
+    from code_index_spark.operators.dedupe import duplicated_window_stats
+
+    rows = [
+        (0, "a b c d e"),        # windows: abc bcd cde — abc shared w/ 1
+        (1, "x y a b c"),        # windows: xya yab abc — abc shared w/ 0
+        (2, "p q r"),            # unique window, no partner
+        (3, "m n"),              # too short: zero windows
+        (4, "k k k k"),          # intra-doc repeat only: kkk twice, no
+                                 # OTHER doc has it → not duplicated
+        (5, "u v w u v w"),      # uvw at positions 1 and 4, shared w/ 6
+        (6, "z z u v w"),        # zzu zuv uvw — uvw duplicated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"],
+                         r["dup_window_frac"])
+           for r in duplicated_window_stats(docs, "doc_id", "text",
+                                            window=3).collect()}
+    assert out[0] == (3, 1, round(1 / 3, 6))
+    assert out[1] == (3, 1, round(1 / 3, 6))
+    assert out[2] == (1, 0, 0.0)
+    assert out[3] == (0, 0, 0.0)
+    assert out[4] == (2, 0, 0.0)
+    assert out[5][0] == 4 and out[5][1] == 2  # BOTH uvw positions count
+    assert out[6] == (3, 1, round(1 / 3, 6))
+
+
 def test_prepare_corpus_composition(spark):
     """Composed corpus preparation (operators/prepare.py): every
     stage of curation → decontamination → PII scrub → split fires on
