@@ -1067,6 +1067,21 @@ def _q_dup_window_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_pack_sequences_docs(spark, sf_dir):
+    """GPT-style sequence packing over the documents table: BPE-ish
+    token counts concatenated into 8 deterministic shard streams and
+    chopped into 256-token blocks; the full per-doc layout
+    (shard, offsets, block span) value-hashes against the window-
+    function twin in DuckDB."""
+    from code_index_spark.operators.split import pack_sequences
+
+    tbl = load_tables(spark, sf_dir)
+    toks = token_counts(tbl["documents"], "text")
+    return pack_sequences(
+        toks, "doc_id", "bpe_tokens", budget=256, n_shards=8
+    ).orderBy("doc_id")
+
+
 def _planted_prepare_docs(docs):
     """Documents with PII planted by TEXT-HASH parity (not doc_id),
     so identical texts receive identical suffixes and the exact-dup
@@ -1417,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "fingerprint_docs": _q_fingerprint_docs,
         "dup_window_docs": _q_dup_window_docs,
+        "pack_sequences_docs": _q_pack_sequences_docs,
         # event-time joins
         "events_prior_clicks": _q_events_prior_clicks,
         "prior_clicks_stream_twin": _q_prior_clicks_stream_twin,
@@ -1444,10 +1460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kv_section_stats": _q_kv_section_stats,
         "paragraph_stats": _q_paragraph_stats,
         "catalog_stats": _q_catalog_stats,
-        "multi_corpus_union": _q_multi_corpus_union,
         # --- driver 50-query sample window ends here (position 50);
         # everything below is driver-green from earlier rounds or
         # rows-only, and the `-m slow` sweep re-checks all of it ---
+        "multi_corpus_union": _q_multi_corpus_union,
         "turns_per_role": _q_turns_per_role,
         # relational core flagships
         "q1_pricing": _q_q1_pricing,
@@ -1709,6 +1725,18 @@ plabeled AS (
 )
 {final_select}
 """
+
+
+def _pack_oracle() -> str:
+    """Packing oracle from the same budget/shard/salt constants the
+    engine compiles (split.pack_sql); token counts re-derived with the
+    token_counts BPE expression."""
+    from code_index_spark.operators.split import pack_sql
+
+    return pack_sql(
+        "doc_id", f"len(regexp_extract_all(text, '{TOKEN_REGEX}'))",
+        budget=256, n_shards=8,
+    )
 
 
 def _dataset_split_oracle() -> str:
@@ -2671,6 +2699,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_docs": _REPETITION_ORACLE,
         "decontaminate_docs": _DECONTAM_ORACLE,
         "dup_window_docs": _dup_window_oracle(window=4),
+        "pack_sequences_docs": _pack_oracle(),
         "pii_docs": _pii_oracle(),
         "mixture_sample_docs": _mixture_oracle(),
         "token_counts": (

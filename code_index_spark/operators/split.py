@@ -138,6 +138,102 @@ def mixture_sample_sql(
     return f"({kcase} + CASE WHEN {bucket} < {thrcase} THEN 1 ELSE 0 END)", bucket
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 1024,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Deterministic GPT-style sequence packing: concatenate documents
+    into a token stream and chop it into fixed-`budget` training
+    blocks — the standard pretraining assembly step (docs joined with
+    separators, split at exactly `budget` tokens, boundary docs
+    straddling two blocks). Emits per doc:
+
+      shard        — which of `n_shards` independent streams the doc
+                     packs into (pure function of (id, salt))
+      n_tokens     — the doc's token count (copied from `token_col`)
+      tok_start    — the doc's offset in its shard's stream
+      block_first/ — the budget-sized blocks the doc's span touches
+      block_last     (block ids are PER SHARD; block_last = block_first
+                     for empty docs, whose span is zero-width)
+
+    Why sharded: a single global ordered cumsum is a sequential prefix
+    — one window partition = one task, the anti-scale shape. Sharding
+    by id hash gives n_shards independent streams (one shuffle, window
+    cumsum per shard), which is what a real pipeline does anyway (packs
+    within output shards/files). Within a shard docs order by
+    (hash, id) — a pure function of (id, salt), so the entire packing
+    layout is reproducible across runs/engines/partitionings (the
+    hash_split argument) and fully value-hash oracle-able
+    (pack_sql twin below). The orderBy key is UNIQUE (id tie-break),
+    so Spark's and DuckDB's default RANGE window frames see
+    single-row peer groups and agree exactly.
+
+    Reference parity: code-index chunks per file with
+    chunk_size/overlap (code_splitter.py config); packing is the
+    corpus-scale inverse — assembling many docs into fixed-size
+    training sequences."""
+    from pyspark.sql import Window
+
+    ph = hash60(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        F.pmod(ph, F.lit(n_shards)).cast("int").alias("shard"),
+        ph.alias("_ph"),
+    )
+    w = Window.partitionBy("shard").orderBy("_ph", "doc_id")
+    tok_end = F.sum("n_tokens").over(w)
+    tok_start = (tok_end - F.col("n_tokens")).alias("tok_start")
+    block_first = F.floor((tok_end - F.col("n_tokens")) / budget)
+    block_last = F.when(
+        F.col("n_tokens") > 0, F.floor((tok_end - 1) / budget)
+    ).otherwise(block_first)
+    return base.select(
+        "doc_id", "shard", "n_tokens", tok_start,
+        block_first.alias("block_first"), block_last.alias("block_last"),
+    )
+
+
+def pack_sql(
+    id_expr: str,
+    token_expr: str,
+    budget: int,
+    n_shards: int = 1024,
+    salt: str = "pack-v1",
+    from_clause: str = "documents",
+) -> str:
+    """DuckDB twin of pack_sequences, generated from the same salt /
+    shard / budget constants (single source, like split_sql_case)."""
+    h = (
+        f"CAST(('0x' || substr(md5(CAST({id_expr} AS VARCHAR) || '|{salt}'),"
+        f" 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH b AS (
+  SELECT {id_expr} AS doc_id,
+         CAST({token_expr} AS BIGINT) AS n_tokens,
+         CAST({h} % {n_shards} AS INT) AS shard,
+         {h} AS ph
+  FROM {from_clause}
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY ph, doc_id) AS tok_end
+  FROM b
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(tok_end - n_tokens AS BIGINT) AS tok_start,
+       CAST(floor((tok_end - n_tokens) * 1.0 / {budget}) AS BIGINT) AS block_first,
+       CAST(CASE WHEN n_tokens > 0 THEN floor((tok_end - 1) * 1.0 / {budget})
+            ELSE floor((tok_end - n_tokens) * 1.0 / {budget}) END AS BIGINT)
+         AS block_last
+FROM c ORDER BY doc_id
+"""
+
+
 def split_sql_case(
     id_expr: str,
     fractions: dict[str, float] | None = None,

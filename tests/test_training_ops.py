@@ -475,6 +475,45 @@ def test_curation_reason_priority(spark):
     assert summary["exact_dup"] == (1, len(good))
 
 
+def test_pack_sequences_invariants(spark):
+    """GPT-style packing (operators/split.py): within every shard the
+    doc spans are contiguous (no gaps, no overlaps — the concatenated
+    stream), block ids follow integer division of the span, empty docs
+    are zero-width with block_last == block_first, and the layout is a
+    pure function of (id, salt) — identical across partitionings."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from code_index_spark.operators.split import pack_sequences
+
+    rows = [(i, (i * 37) % 90) for i in range(40)] + [(100, 0), (101, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = pack_sequences(df, "doc_id", "n", budget=64, n_shards=4).collect()
+    assert len(out) == len(rows)
+    by_shard = defaultdict(list)
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        by_shard[r["shard"]].append(r)
+    straddlers = 0
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r["tok_start"])
+        offset = 0
+        for r in rs:
+            assert r["tok_start"] == offset        # contiguous stream
+            offset += r["n_tokens"]
+            assert r["block_first"] == r["tok_start"] // 64
+            if r["n_tokens"] > 0:
+                assert r["block_last"] == (r["tok_start"] + r["n_tokens"] - 1) // 64
+                straddlers += r["block_last"] > r["block_first"]
+            else:
+                assert r["block_last"] == r["block_first"]  # zero-width
+    assert straddlers > 0  # budget=64 with ~45-token docs must straddle
+    again = pack_sequences(df.repartition(7), "doc_id", "n",
+                           budget=64, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_duplicated_window_stats(spark):
     """Cross-doc duplicated windows (operators/dedupe.py): only
     windows shared ACROSS docs count (intra-doc repeats alone don't —
