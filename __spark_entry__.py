@@ -1943,28 +1943,16 @@ def _pii_oracle() -> str:
     )
     return sql
 
-def _py_norm(s: str) -> str:
-    import re as _re
-
-    s = s.lower().replace("@", "")
-    s = _re.sub("[-_]", " ", s)
-    return _re.sub(" +", " ", s.strip())
-
-
-def _py_grams(norm: str) -> list[str]:
-    p = f" {norm} "
-    out = []
-    for i in range(max(len(p) - 2, 1)):
-        g = p[i : i + 3]
-        if g not in out:
-            out.append(g)
-    return out
-
 
 def _entity_search_oracle(query: str, k: int = 10) -> str:
     from code_index_spark.oracle import class_surfaces_sql
 
-    qgrams = _py_grams(_py_norm(query))
+    # ONE Python twin of normalize_surface/char_ngrams repo-wide
+    # (operators/link.py) — a drifted local copy would silently
+    # desynchronize the oracle's query grams from the engine's
+    from code_index_spark.operators.link import _py_char_ngrams, _py_normalize
+
+    qgrams = _py_char_ngrams(_py_normalize(query))
     values = ", ".join(f"('{g}')" for g in qgrams)
     return f"""
 , surfaces AS (

@@ -170,12 +170,14 @@ def band_collision_pairs(
     r=3/b=70 link setting — recomputes per scan (the CLAUDE.md
     self-joining-consumer trap, flagged by the round-3 review), so by
     default the compact (id, band, h) table is localCheckpoint-ed
-    first. Cost is linear in n·bands rows; on the candidate_pairs_lsh
-    path nothing upstream is checkpointed, so that is the intended
-    truncation point. truncate_lineage=False opts out (round-4
-    ADVICE): callers that already materialized the bands' input — e.g.
-    minhash_lsh_pairs checkpoints the shingle table — skip a forced
-    second materialization. Executor-loss caveat: localCheckpoint
+    first. Cost is linear in n·bands rows. The default stays True for
+    EVERY in-repo caller — including minhash_lsh_pairs, whose shingle
+    table is itself checkpointed: the bands checkpoint additionally
+    stops the 105-digest signature stage recomputing per scan, and the
+    round-4 A/B measured it neutral-to-better even there (BENCH.md).
+    truncate_lineage=False exists for callers that need fault
+    tolerance through this stage or manage their own materialization.
+    Executor-loss caveat: localCheckpoint
     stores blocks on executors with lineage cut, so on a real cluster
     a lost executor FAILS the job instead of recomputing; jobs needing
     fault tolerance through this stage should set reliable

@@ -28,14 +28,20 @@ def _star_round(
 ) -> DataFrame:
     """One large- or small-star round over canonical (u, v) edges.
 
-    num_partitions sizes the round's shuffles PLAN-LOCALLY (round-4
-    ADVICE: mutating spark.sql.shuffle.partitions in try/finally races
-    concurrent queries on a shared session): one explicit
-    repartition(n, u) after the union — the distinct on (u, v), the
-    min-neighbor groupBy(u), and the join on u all cluster on u or a
-    superset, so Catalyst reuses that single exchange for all three —
-    and one repartition(n, u) before the output distinct. Two sized
-    exchanges per round, no session state touched."""
+    num_partitions sizes the round's input shuffle PLAN-LOCALLY
+    (round-4 ADVICE: mutating spark.sql.shuffle.partitions in
+    try/finally races concurrent queries on a shared session): one
+    explicit repartition(n, u) after the union — the distinct on
+    (u, v), the min-neighbor groupBy(u), and the join on u all cluster
+    on u or a superset, so Catalyst reuses that single exchange for
+    all three consumers (the amortization that justifies moving raw
+    rows). The OUTPUT distinct deliberately has NO such repartition:
+    its exchange has one consumer, so a repartition there would only
+    move the star-contraction's raw duplicate stream un-combined
+    (CLAUDE.md: don't repartition directly ahead of an aggregation) —
+    letting distinct plan its own exchange keeps the map-side dedup,
+    and width control matters less here because this path only runs
+    past the 10^6-edge driver cutover, never on tiny graphs."""
     # neighborhood with self: Γ⁺(u) = Γ(u) ∪ {u}
     und = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     und = und.union(und.select("u", F.col("u").alias("v")))
@@ -49,8 +55,6 @@ def _star_round(
     else:
         out = nbr.filter(F.col("v") <= F.col("u")).select(F.col("v").alias("u"), F.col("m").alias("v"))
     out = out.filter(F.col("u") != F.col("v"))
-    if num_partitions:
-        out = out.repartition(num_partitions, "u")
     return out.distinct()
 
 

@@ -458,7 +458,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
+            # explicit length/shape checks: corrupt streams must raise
+            # ValueError (the class multimodal._DECODE_ERRORS catches
+            # in lenient mode), not IndexError
+            if len(body) < 1:
+                raise ValueError("JPEG SOS header empty")
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("JPEG SOS header truncated")
             scan_comps = [
                 (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
                 for i in range(ns)
@@ -479,7 +486,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     byid = {cid: (hc, vc, tq) for cid, hc, vc, tq in comps}
     state = []
     for cid, dc_id, ac_id in scan_comps:
+        # missing-table / unknown-component streams must raise
+        # ValueError, not KeyError (see SOS note above)
+        if cid not in byid:
+            raise ValueError(f"JPEG scan references unknown component {cid}")
         hc, vc, tq = byid[cid]
+        if tq not in qtabs:
+            raise ValueError(f"JPEG missing quantization table {tq}")
+        if (0, dc_id) not in htabs or (1, ac_id) not in htabs:
+            raise ValueError(
+                f"JPEG missing Huffman table (dc={dc_id}, ac={ac_id})"
+            )
         plane = np.zeros((mcus_y * vc * 8, mcus_x * hc * 8))
         state.append({
             "hc": hc, "vc": vc, "q": qtabs[tq],

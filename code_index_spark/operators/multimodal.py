@@ -394,7 +394,10 @@ def decode_audio(payload: bytes, fake: bool = True) -> np.ndarray:
     try:
         if payload[:4] == b"RIFF":
             return decode_wav(payload)[0]
-    except _DECODE_ERRORS:
+    except (*_DECODE_ERRORS, NotImplementedError):
+        # NotImplementedError = valid-but-unsupported WAV variant
+        # (stereo, non-PCM16) — lenient mode stands in for those the
+        # same as for corrupt payloads (mirrors _decode_image_checked)
         if not fake:
             raise
         return _fake_audio(payload)
@@ -432,7 +435,7 @@ def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 try:
                     if buf[:4] == b"RIFF":
                         wave, rate = decode_wav(buf)
-                except _DECODE_ERRORS:
+                except (*_DECODE_ERRORS, NotImplementedError):
                     if not fake:
                         raise
                 if wave is not None:

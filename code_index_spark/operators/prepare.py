@@ -136,13 +136,14 @@ def prepare_corpus(
     )
 
 
-def prepare_summary(df: DataFrame, eval_df: DataFrame, **kwargs) -> DataFrame:
-    """(reason, split, n_docs, n_chars, n_pii_docs) — the run report a
-    pipeline operator reads: what survived, where it landed, how much
-    was scrubbed."""
+def summarize_labels(labels: DataFrame) -> DataFrame:
+    """(reason, split, n_docs, n_chars, n_pii_docs) from an existing
+    prepare_corpus labels table — the single definition of the run
+    report, shared by prepare_summary (recompute path, oracled) and
+    jobs/prepare_corpus.py (which consumes its already-checkpointed
+    labels instead of re-running the pipeline)."""
     return (
-        prepare_corpus(df, eval_df, **kwargs)
-        .groupBy("reason", "split")
+        labels.groupBy("reason", "split")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("doc_chars").cast("long").alias("n_chars"),
@@ -150,3 +151,10 @@ def prepare_summary(df: DataFrame, eval_df: DataFrame, **kwargs) -> DataFrame:
         )
         .orderBy("reason", "split")
     )
+
+
+def prepare_summary(df: DataFrame, eval_df: DataFrame, **kwargs) -> DataFrame:
+    """(reason, split, n_docs, n_chars, n_pii_docs) — the run report a
+    pipeline operator reads: what survived, where it landed, how much
+    was scrubbed."""
+    return summarize_labels(prepare_corpus(df, eval_df, **kwargs))

@@ -22,9 +22,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.textfns import hash60
+from ..functions.textfns import HASH60_SQL, hash60
 
 _BUCKETS = 10_000
+
+
+def _salted_hash_sql(id_expr: str, salt: str) -> str:
+    """DuckDB twin of hash60(id || '|' || salt) — built from the shared
+    HASH60_SQL template so the md5-60bit scheme has ONE SQL source."""
+    return HASH60_SQL.format(x=f"CAST({id_expr} AS VARCHAR) || '|{salt}'")
 
 
 def _ranges(fractions: dict[str, float]) -> list[tuple[str, int, int]]:
@@ -123,10 +129,7 @@ def mixture_sample_sql(
     same _rate_parts integers; returns the n_copies SQL expression —
     callers wrap it with `unnest([e for e in range(0, n_copies)])` to
     materialize epochs."""
-    bucket = (
-        f"(CAST(('0x' || substr(md5(CAST({id_expr} AS VARCHAR) || '|{salt}'),"
-        f" 1, 15)) AS BIGINT) % {_BUCKETS})"
-    )
+    bucket = f"({_salted_hash_sql(id_expr, salt)} % {_BUCKETS})"
     kw, tw = [], []
     for name, r in rates.items():
         k, thr = _rate_parts(float(r))
@@ -208,10 +211,7 @@ def pack_sql(
 ) -> str:
     """DuckDB twin of pack_sequences, generated from the same salt /
     shard / budget constants (single source, like split_sql_case)."""
-    h = (
-        f"CAST(('0x' || substr(md5(CAST({id_expr} AS VARCHAR) || '|{salt}'),"
-        f" 1, 15)) AS BIGINT)"
-    )
+    h = _salted_hash_sql(id_expr, salt)
     return f"""
 WITH b AS (
   SELECT {id_expr} AS doc_id,
@@ -243,10 +243,7 @@ def split_sql_case(
     generated from the same _ranges, so engine and oracle cannot
     drift."""
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
-    bucket = (
-        f"(CAST(('0x' || substr(md5(CAST({id_expr} AS VARCHAR) || '|{salt}'),"
-        f" 1, 15)) AS BIGINT) % {_BUCKETS})"
-    )
+    bucket = f"({_salted_hash_sql(id_expr, salt)} % {_BUCKETS})"
     whens = " ".join(
         f"WHEN {bucket} >= {lo} AND {bucket} < {hi} THEN '{name}'"
         for name, lo, hi in _ranges(fractions)

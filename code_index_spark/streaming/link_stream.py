@@ -93,11 +93,22 @@ def _read_surfaces(
     versions = _surface_versions(surf_root)
     if below is not None:
         versions = [v for v in versions if v < below]
-    if not versions:
-        return spark.createDataFrame([], _SURFACES_DDL)
-    return _read_state(
-        spark, os.path.join(surf_root, f"v={versions[-1]}"), _SURFACES_DDL
-    )
+    if versions:
+        return _read_state(
+            spark, os.path.join(surf_root, f"v={versions[-1]}"), _SURFACES_DDL
+        )
+    # pre-versioning FLAT layout (parquet files directly under
+    # surfaces/, written before the batch-id-versioned snapshots): use
+    # it as the base snapshot instead of silently resetting accumulated
+    # mention counts to empty. It is also the correct replay base for
+    # the first versioned batch (the only caller that filters every
+    # version out with `below`); once that batch commits, the write
+    # path deletes the flat files.
+    if os.path.isdir(surf_root) and any(
+        n.endswith(".parquet") for n in os.listdir(surf_root)
+    ):
+        return _read_state(spark, surf_root, _SURFACES_DDL)
+    return spark.createDataFrame([], _SURFACES_DDL)
 
 
 def _new_pairs(
@@ -195,6 +206,14 @@ def _apply_batch(
     base = [v for v in _surface_versions(surf_root) if v < batch_id]
     for v in base[:-1]:
         shutil.rmtree(os.path.join(surf_root, f"v={v}"), ignore_errors=True)
+    if base:
+        # a versioned base exists, so any pre-versioning flat-layout
+        # files (the migration base read by _read_surfaces) are
+        # superseded — drop them
+        for name in os.listdir(surf_root):
+            p = os.path.join(surf_root, name)
+            if os.path.isfile(p):
+                os.remove(p)
 
 
 def start_incremental_linking(

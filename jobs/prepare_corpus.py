@@ -46,7 +46,10 @@ def main(argv=None) -> None:
     from pyspark.sql import SparkSession, functions as F
 
     from code_index_spark.operators.pii import redact_pii
-    from code_index_spark.operators.prepare import prepare_corpus
+    from code_index_spark.operators.prepare import (
+        prepare_corpus,
+        summarize_labels,
+    )
 
     spark = SparkSession.builder.appName("kgp-prepare").getOrCreate()
     docs = spark.read.parquet(args.input)
@@ -71,11 +74,7 @@ def main(argv=None) -> None:
     report = [
         {"reason": r["reason"], "split": r["split"], "n_docs": r["n_docs"],
          "n_chars": r["n_chars"], "n_pii_docs": r["n_pii_docs"]}
-        for r in labels.groupBy("reason", "split")
-        .agg(F.count("*").alias("n_docs"),
-             F.sum("doc_chars").alias("n_chars"),
-             F.sum(F.col("has_pii").cast("int")).alias("n_pii_docs"))
-        .orderBy("reason", "split").collect()
+        for r in summarize_labels(labels).collect()
     ]
     json.dump({"report": report, "output": args.output}, sys.stdout)
     print()

@@ -108,3 +108,60 @@ def test_batch_replay_is_idempotent(spark, tmp_path, synth_corpus):
     }
     assert replayed == first  # counts NOT doubled
     assert _pairs_set(linked_pairs_view(spark, state_dir)) == view_first
+
+
+def test_flat_surfaces_layout_migrates(spark, tmp_path, synth_corpus):
+    """State written by the pre-versioning code (parquet directly under
+    surfaces/, no v=<batch> dirs) must be read as the base snapshot —
+    not silently treated as empty, which would reset accumulated
+    mention counts — and be cleaned up once a versioned base exists."""
+    import os
+    import shutil
+
+    pdf, _ = synth_corpus
+    convs = sorted(pdf["conv_id"].unique())
+    half = set(convs[: len(convs) // 2])
+    first = spark.createDataFrame(pdf[pdf["conv_id"].isin(half)],
+                                  schema=TRANSCRIPTS)
+    second = spark.createDataFrame(pdf[~pdf["conv_id"].isin(half)],
+                                   schema=TRANSCRIPTS)
+
+    # reference: both batches through the current versioned layout
+    ref_dir = str(tmp_path / "ref")
+    _apply_batch(spark, ref_dir, first, 0, min_jaccard=0.4)
+    _apply_batch(spark, ref_dir, second, 1, min_jaccard=0.4)
+    want = {
+        (r["surface"], r["mention_count"])
+        for r in surfaces_state_view(spark, ref_dir).collect()
+    }
+
+    # simulate the old layout: demote batch 0's snapshot to flat files
+    mig_dir = str(tmp_path / "mig")
+    _apply_batch(spark, mig_dir, first, 0, min_jaccard=0.4)
+    surf = os.path.join(mig_dir, "surfaces")
+    v0 = os.path.join(surf, "v=0")
+    for name in os.listdir(v0):
+        shutil.move(os.path.join(v0, name), os.path.join(surf, name))
+    os.rmdir(v0)
+
+    base = {
+        (r["surface"], r["mention_count"])
+        for r in surfaces_state_view(spark, mig_dir).collect()
+    }
+    assert base  # flat layout readable, not empty
+
+    _apply_batch(spark, mig_dir, second, 1, min_jaccard=0.4)
+    got = {
+        (r["surface"], r["mention_count"])
+        for r in surfaces_state_view(spark, mig_dir).collect()
+    }
+    assert got == want  # counts accumulated on the flat base
+
+    # next batch sees a versioned base -> flat files cleaned up
+    _apply_batch(spark, mig_dir, second.limit(0), 2, min_jaccard=0.4)
+    assert not [n for n in os.listdir(surf)
+                if os.path.isfile(os.path.join(surf, n))]
+    assert got == {
+        (r["surface"], r["mention_count"])
+        for r in surfaces_state_view(spark, mig_dir).collect()
+    }
