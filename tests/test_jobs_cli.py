@@ -77,3 +77,41 @@ def test_curate_job_cli(spark, tmp_path, capsys):
     labels = {r["doc_id"]: r["reason"] for r in spark.read.parquet(lab).collect()}
     assert labels == {0: "keep", 1: "exact_dup", 2: "near_dup",
                       3: "low_quality", 4: "non_en"}
+
+
+def test_prepare_job_cli(spark, tmp_path, capsys):
+    """jobs/prepare_corpus.py end to end: survivors written REDACTED and
+    partitioned by split, audit table carries every reason, run report
+    aggregates via prepare.summarize_labels (one definition)."""
+    from jobs import prepare_corpus as prepare_job
+
+    good = "the quick brown fox and the lazy dog of the meadow in town"
+    piiish = ("ping the code and test the data of the trade in main then"
+              " email me at user@example.org now")
+    docs = spark.createDataFrame(
+        [(0, good), (1, good), (2, good + " tonight"), (3, "x"),
+         (4, "el la de el la de uno dos tres cuatro cinco seis"),
+         (5, "alpha beta gamma"), (6, piiish)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, "alpha beta gamma delta")],
+                               "doc_id long, text string")
+    in_dir, ev_dir = str(tmp_path / "pdocs"), str(tmp_path / "pev")
+    docs.write.parquet(in_dir)
+    ev.write.parquet(ev_dir)
+    out, lab = str(tmp_path / "prepared"), str(tmp_path / "plabels")
+    prepare_job.main(["--input", in_dir, "--eval", ev_dir, "--output", out,
+                      "--labels", lab, "--gram-n", "3"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    reasons = {(r["reason"]) for r in res["report"]}
+    assert {"keep", "exact_dup", "near_dup", "low_quality", "non_en",
+            "contaminated"} <= reasons
+    survivors = spark.read.parquet(out).collect()
+    assert {r["doc_id"] for r in survivors} == {0, 6}
+    by_id = {r["doc_id"]: r for r in survivors}
+    assert "user@example.org" not in by_id[6]["text"]  # redacted
+    assert "<EMAIL>" in by_id[6]["text"]
+    assert by_id[0]["split"] in ("train", "val", "test")  # split column kept
+    labels = {r["doc_id"]: r["reason"]
+              for r in spark.read.parquet(lab).collect()}
+    assert labels[5] == "contaminated" and labels[1] == "exact_dup"
