@@ -1067,6 +1067,20 @@ def _q_dup_window_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_lm_quality_docs(spark, sf_dir):
+    """CCNet-style unigram-LM quality scores: the reference LM is fit
+    on the deterministic doc_id % 5 == 0 slice (the 'curated
+    reference' a real pipeline trains its scorer on) and every
+    document is scored against it — OOV stats are exact integers, the
+    smoothed avg log-prob rounds to 4 decimals on both engines."""
+    from code_index_spark.operators.textstats import unigram_lm_scores
+
+    tbl = load_tables(spark, sf_dir)
+    docs = tbl["documents"]
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    return unigram_lm_scores(docs, ref, "doc_id", "text").orderBy("doc_id")
+
+
 def _q_pack_sequences_docs(spark, sf_dir):
     """GPT-style sequence packing over the documents table: BPE-ish
     token counts concatenated into 8 deterministic shard streams and
@@ -1433,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": _q_fingerprint_docs,
         "dup_window_docs": _q_dup_window_docs,
         "pack_sequences_docs": _q_pack_sequences_docs,
+        "lm_quality_docs": _q_lm_quality_docs,
         # event-time joins
         "events_prior_clicks": _q_events_prior_clicks,
         "prior_clicks_stream_twin": _q_prior_clicks_stream_twin,
@@ -1459,10 +1474,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_triple_metrics": _q_conv_triple_metrics,
         "kv_section_stats": _q_kv_section_stats,
         "paragraph_stats": _q_paragraph_stats,
-        "catalog_stats": _q_catalog_stats,
         # --- driver 50-query sample window ends here (position 50);
         # everything below is driver-green from earlier rounds or
         # rows-only, and the `-m slow` sweep re-checks all of it ---
+        "catalog_stats": _q_catalog_stats,
         "multi_corpus_union": _q_multi_corpus_union,
         "turns_per_role": _q_turns_per_role,
         # relational core flagships
@@ -1868,6 +1883,42 @@ SELECT b.doc_id, CAST(b.n_windows AS INT) AS n_windows,
                   THEN COALESCE(a.nd, 0) * 1.0 / b.n_windows
                   ELSE 0.0 END, 6) AS dup_window_frac
 FROM b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id
+"""
+
+# Unigram-LM quality oracle: same reference slice, same add-1-smoothed
+# log-prob (each token's double is identical in both engines — only the
+# per-doc summation order differs, hence round 4 on the mean; CLAUDE.md
+# float discipline).
+_LM_QUALITY_ORACLE = r"""
+WITH reft AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents WHERE doc_id % 5 = 0 AND length(trim(text)) > 0
+), lm AS (
+  SELECT w, count(*) AS c FROM reft GROUP BY w
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM lm
+), tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+), j AS (
+  SELECT doc_id,
+         ln((COALESCE(c, 0) + 1.0) / (t + v + 1.0)) AS lp,
+         CASE WHEN c IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok LEFT JOIN lm USING (w) CROSS JOIN tot
+), per AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+         CAST(sum(oov) AS INT) AS n_oov,
+         round(sum(lp) / count(*), 4) AS avg_logprob
+  FROM j GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.n_oov, 0) AS n_oov,
+       round(CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                  THEN p.n_oov * 1.0 / p.n_tokens ELSE 0.0 END, 6)
+         AS oov_frac,
+       COALESCE(p.avg_logprob, 0.0) AS avg_logprob
+FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id
 """
 
 # Decontamination oracle: same eval/train slices and 3-gram windows;
@@ -2688,6 +2739,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": _DECONTAM_ORACLE,
         "dup_window_docs": _dup_window_oracle(window=4),
         "pack_sequences_docs": _pack_oracle(),
+        "lm_quality_docs": _LM_QUALITY_ORACLE,
         "pii_docs": _pii_oracle(),
         "mixture_sample_docs": _mixture_oracle(),
         "token_counts": (

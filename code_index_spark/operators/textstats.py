@@ -158,6 +158,88 @@ def repetition_features(df: DataFrame, text_col: str, gram_n: int = 2) -> DataFr
     )
 
 
+def unigram_lm_scores(
+    df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring with a unigram LM:
+    fit word counts on a REFERENCE corpus (CCNet fits KenLM on
+    Wikipedia and scores CommonCrawl by perplexity; the unigram LM is
+    the deterministic, engine-portable member of that family), then
+    score every doc in `df`:
+
+      n_tokens     — scored word count
+      n_oov        — words absent from the reference vocabulary
+      oov_frac     — n_oov / n_tokens
+      avg_logprob  — mean add-1-smoothed log-probability,
+                     ln((c_w + 1) / (T + V + 1)), c_w = ref count,
+                     T = ref token total, V = ref vocab size;
+                     higher = more reference-like (the filter
+                     thresholds on this, low = gibberish/OOV-heavy)
+
+    Scale shape: the reference LM is a vocab-scale (word, count)
+    table; like decontaminate's eval grams it is bounded by
+    construction (a curated reference corpus), so it broadcasts by
+    default — the scored corpus then never shuffles ON WORDS; the only
+    corpus-sized exchange is the per-doc aggregation (map-side
+    partial). broadcast_lm=False degrades to a shuffle join for
+    reference corpora that aren't small. The (T, V) totals ride a
+    1-row broadcast cross join — never a driver collect.
+
+    Float note: each token's log-prob is the same IEEE double in Spark
+    and DuckDB (identical rational inputs); only the per-doc summation
+    order differs, so avg_logprob is rounded to 4 decimals on both
+    sides (the tf-idf cosine oracle discipline).
+
+    Reference parity: code-index gates blocks on heuristic quality
+    (file_processing_helpers.py:55-57); LM scoring is the
+    corpus-trained generalization of that gate."""
+    t = F.lower(F.trim(F.col(text_col)))
+    words = F.split(t, r"\s+")
+    nonempty = F.length(F.trim(F.col(text_col))) > 0
+
+    ref_tok = (
+        ref_df.filter(nonempty)
+        .select(F.explode(words).alias("w"))
+    )
+    lm = ref_tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = lm.agg(
+        F.sum("c").cast("long").alias("t"), F.count("*").alias("v")
+    )
+    tok = (
+        df.filter(nonempty)
+        .select(F.col(id_col).alias("doc_id"), F.explode(words).alias("w"))
+    )
+    lm_side = F.broadcast(lm) if broadcast_lm else lm
+    j = tok.join(lm_side, "w", "left").crossJoin(F.broadcast(tot))
+    lp = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+        / (F.col("t") + F.col("v") + F.lit(1.0))
+    )
+    oov = F.when(F.col("c").isNull(), 1).otherwise(0)
+    per = j.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.sum(oov).cast("int").alias("n_oov"),
+        F.round(F.sum(lp) / F.count("*"), 4).alias("avg_logprob"),
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+        F.round(
+            F.when(F.col("n_tokens") > 0,
+                   F.coalesce(F.col("n_oov"), F.lit(0))
+                   / F.col("n_tokens"))
+            .otherwise(F.lit(0.0)), 6,
+        ).alias("oov_frac"),
+        F.coalesce(F.col("avg_logprob"), F.lit(0.0)).alias("avg_logprob"),
+    )
+
+
 # BPE-ish token estimator: word pieces ≈ runs of letters / digits /
 # single punctuation, the standard cheap proxy for subword counts.
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

@@ -475,6 +475,38 @@ def test_curation_reason_priority(spark):
     assert summary["exact_dup"] == (1, len(good))
 
 
+def test_unigram_lm_scores(spark):
+    """CCNet-style unigram LM scoring (operators/textstats.py):
+    add-1-smoothed log-probs against a reference corpus, exact OOV
+    integers, empty docs zeroed; expected values computed
+    independently in Python."""
+    import math
+
+    from code_index_spark.operators.textstats import unigram_lm_scores
+
+    ref = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the dog sat")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(10, "the cat"),          # fully in-vocab
+         (11, "the zebra"),        # one OOV
+         (12, "")],                # empty
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           unigram_lm_scores(docs, ref, "doc_id", "text").collect()}
+    # ref: T=6 tokens, V=4 vocab {the:2, cat:1, sat:2, dog:1}; denom=11
+    lp = {w: math.log((c + 1) / 11.0) for w, c in
+          {"the": 2, "cat": 1, "zebra": 0}.items()}
+    assert (out[10]["n_tokens"], out[10]["n_oov"]) == (2, 0)
+    assert out[10]["avg_logprob"] == round((lp["the"] + lp["cat"]) / 2, 4)
+    assert (out[11]["n_tokens"], out[11]["n_oov"]) == (2, 1)
+    assert out[11]["oov_frac"] == 0.5
+    assert out[11]["avg_logprob"] == round((lp["the"] + lp["zebra"]) / 2, 4)
+    assert (out[12]["n_tokens"], out[12]["n_oov"],
+            out[12]["oov_frac"], out[12]["avg_logprob"]) == (0, 0, 0.0, 0.0)
+
+
 def test_pack_sequences_invariants(spark):
     """GPT-style packing (operators/split.py): within every shard the
     doc spans are contiguous (no gaps, no overlaps — the concatenated
