@@ -1067,6 +1067,35 @@ def _q_dup_window_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_corpus_report(spark, sf_dir):
+    """The per-source corpus dashboard a data-pipeline owner reads:
+    doc/char/token counts, mean quality, predicted-language breakdown
+    coverage, repetition rate — one wide oracled aggregate composing
+    four per-row operator families over one scan."""
+    from code_index_spark.operators.textstats import repetition_features
+
+    tbl = load_tables(spark, sf_dir)
+    docs = tbl["documents"]
+    feats = repetition_features(
+        lang_id(quality_features(token_counts(docs, "text"), "text"), "text"),
+        "text",
+    )
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.sum("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.sum((F.col("pred_lang") == "en").cast("int")).cast("long")
+             .alias("n_en"),
+            F.sum(F.col("repetitive").cast("int")).cast("long")
+             .alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_lm_quality_docs(spark, sf_dir):
     """CCNet-style unigram-LM quality scores: the reference LM is fit
     on the deterministic doc_id % 5 == 0 slice (the 'curated
@@ -1448,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_window_docs": _q_dup_window_docs,
         "pack_sequences_docs": _q_pack_sequences_docs,
         "lm_quality_docs": _q_lm_quality_docs,
+        "corpus_report": _q_corpus_report,
         # event-time joins
         "events_prior_clicks": _q_events_prior_clicks,
         "prior_clicks_stream_twin": _q_prior_clicks_stream_twin,
@@ -1473,10 +1503,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_profiles": _q_conv_profiles,
         "conv_triple_metrics": _q_conv_triple_metrics,
         "kv_section_stats": _q_kv_section_stats,
-        "paragraph_stats": _q_paragraph_stats,
         # --- driver 50-query sample window ends here (position 50);
         # everything below is driver-green from earlier rounds or
         # rows-only, and the `-m slow` sweep re-checks all of it ---
+        "paragraph_stats": _q_paragraph_stats,
         "catalog_stats": _q_catalog_stats,
         "multi_corpus_union": _q_multi_corpus_union,
         "turns_per_role": _q_turns_per_role,
@@ -1592,19 +1622,25 @@ def _curation_oracle(per_doc: bool = False) -> str:
     return f"WITH {_curation_ctes()}\n{final_select}\n"
 
 
+# single SQL source of the composite quality score (mirrors
+# textstats.quality_features), shared by the curation/prepare chain
+# and the corpus-report oracle
+_QUALITY_SCORE_SQL = (
+    "round((CASE WHEN n_words >= 5 AND n_words <= 100000 THEN 0.4 ELSE 0.0 END)"
+    " + (CASE WHEN n_words > 0 AND n_chars * 1.0 / n_words >= 2.0"
+    "      AND n_chars * 1.0 / n_words <= 12.0 THEN 0.3 ELSE 0.0 END)"
+    " + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars"
+    "      ELSE 0.0 END) <= 0.1 THEN 0.1 ELSE 0.0 END)"
+    " + (CASE WHEN stopword_hits > 0 THEN 0.2 ELSE 0.0 END), 2)"
+)
+
+
 def _curation_ctes(doc_src: str = "documents") -> str:
     """The shared curation CTE chain (grams → near/exact reject sets →
     quality → language → labeled), parameterized on the doc source so
     the composed corpus-prepare oracle can run it over a
     filtered/planted subquery. Returns the body AFTER `WITH`."""
-    score = (
-        "round((CASE WHEN n_words >= 5 AND n_words <= 100000 THEN 0.4 ELSE 0.0 END)"
-        " + (CASE WHEN n_words > 0 AND n_chars * 1.0 / n_words >= 2.0"
-        "      AND n_chars * 1.0 / n_words <= 12.0 THEN 0.3 ELSE 0.0 END)"
-        " + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars"
-        "      ELSE 0.0 END) <= 0.1 THEN 0.1 ELSE 0.0 END)"
-        " + (CASE WHEN stopword_hits > 0 THEN 0.2 ELSE 0.0 END), 2)"
-    )
+    score = _QUALITY_SCORE_SQL
     return f"""grams AS ({_doc_grams_cte(doc_src)}),
 sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
 inter AS (
@@ -1884,6 +1920,75 @@ SELECT b.doc_id, CAST(b.n_windows AS INT) AS n_windows,
                   ELSE 0.0 END, 6) AS dup_window_frac
 FROM b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id
 """
+
+def _corpus_report_oracle() -> str:
+    """Per-source corpus dashboard: composes the quality-score,
+    lang-vote, and repetition oracle derivations (each individually
+    hash-green via doc_quality / lang_id_docs / repetition_docs) into
+    one grouped report."""
+    return rf"""
+WITH w AS (
+  SELECT doc_id, trim(text) AS t,
+         string_split_regex(trim(text), '\s+') AS words
+  FROM documents
+), b AS (
+  SELECT doc_id,
+    CASE WHEN length(t) = 0 THEN 0 ELSE len(words) END AS n_words,
+    CASE WHEN length(t) = 0 THEN 0 ELSE len(list_distinct(words)) END AS n_distinct,
+    CASE WHEN length(t) = 0 OR len(words) < 2 THEN CAST([] AS VARCHAR[])
+         ELSE [array_to_string(words[i:i+1], ' ') for i in range(1, len(words))] END AS grams
+  FROM w
+), m AS (
+  SELECT doc_id, max(c) AS best FROM (
+    SELECT doc_id, gram, count(*) AS c
+    FROM (SELECT doc_id, unnest(grams) AS gram FROM b)
+    GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+), rep AS (
+  SELECT b.doc_id,
+    (round(CASE WHEN n_words > 0 THEN 1.0 - n_distinct * 1.0 / n_words ELSE 0.0 END, 6)
+       > {DUP_WORD_FRAC_MAX}
+     OR round(CASE WHEN n_words >= 2 THEN coalesce(best, 0) * 1.0 / (n_words - 1) ELSE 0.0 END, 6)
+       > {TOP_GRAM_FRAC_MAX}) AS repetitive
+  FROM b LEFT JOIN m USING (doc_id)
+), qf AS (
+  SELECT doc_id, {_QUALITY_SCORE_SQL} AS quality_score FROM (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+           len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+           len(list_intersect(
+               list_distinct([lower(wd) for wd in string_split_regex(trim(text), '\s+')]),
+               ['the','and','of','to','a','in'])) AS stopword_hits
+    FROM documents)
+), lg AS (
+  SELECT doc_id, CASE
+    WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+    WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+    WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+    WHEN h_fr >= h_de THEN 'fr'
+    ELSE 'de' END AS pred_lang
+  FROM (SELECT doc_id,
+               {_lang_hits('en')} AS h_en, {_lang_hits('es')} AS h_es,
+               {_lang_hits('fr')} AS h_fr, {_lang_hits('de')} AS h_de
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS words
+              FROM documents))
+)
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+       CAST(sum(len(regexp_extract_all(d.text, '{TOKEN_REGEX}'))) AS BIGINT)
+         AS n_bpe_tokens,
+       round(avg(q.quality_score), 4) AS avg_quality,
+       CAST(sum(CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_en,
+       CAST(sum(CASE WHEN rep.repetitive THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repetitive
+FROM documents d
+JOIN qf q USING (doc_id) JOIN lg l USING (doc_id) JOIN rep USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
 
 # Unigram-LM quality oracle: same reference slice, same add-1-smoothed
 # log-prob (each token's double is identical in both engines — only the
@@ -2740,6 +2845,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_window_docs": _dup_window_oracle(window=4),
         "pack_sequences_docs": _pack_oracle(),
         "lm_quality_docs": _LM_QUALITY_ORACLE,
+        "corpus_report": _corpus_report_oracle(),
         "pii_docs": _pii_oracle(),
         "mixture_sample_docs": _mixture_oracle(),
         "token_counts": (
