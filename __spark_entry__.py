@@ -1110,6 +1110,27 @@ def _q_lm_quality_docs(spark, sf_dir):
     return unigram_lm_scores(docs, ref, "doc_id", "text").orderBy("doc_id")
 
 
+def _q_lm_ppl_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail bucketing per source: unigram-LM
+    scores (the lm_quality_docs path) ranked within each source by the
+    exact integer-threshold rule — the group-relative quality gate
+    CCNet filters CommonCrawl with (keep head+middle, drop tail)."""
+    from code_index_spark.operators.textstats import (
+        perplexity_buckets,
+        unigram_lm_scores,
+    )
+
+    tbl = load_tables(spark, sf_dir)
+    docs = tbl["documents"]
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    scores = unigram_lm_scores(docs, ref, "doc_id", "text").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return perplexity_buckets(
+        scores, "source", head_frac=0.3, tail_frac=0.3
+    ).orderBy("doc_id")
+
+
 def _q_pack_sequences_docs(spark, sf_dir):
     """GPT-style sequence packing over the documents table: BPE-ish
     token counts concatenated into 8 deterministic shard streams and
@@ -1477,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_window_docs": _q_dup_window_docs,
         "pack_sequences_docs": _q_pack_sequences_docs,
         "lm_quality_docs": _q_lm_quality_docs,
+        "lm_ppl_buckets": _q_lm_ppl_buckets,
         "corpus_report": _q_corpus_report,
         # event-time joins
         "events_prior_clicks": _q_events_prior_clicks,
@@ -1502,10 +1524,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_mentions_batch": _q_first_mentions_batch,
         "conv_profiles": _q_conv_profiles,
         "conv_triple_metrics": _q_conv_triple_metrics,
-        "kv_section_stats": _q_kv_section_stats,
         # --- driver 50-query sample window ends here (position 50);
         # everything below is driver-green from earlier rounds or
         # rows-only, and the `-m slow` sweep re-checks all of it ---
+        "kv_section_stats": _q_kv_section_stats,
         "paragraph_stats": _q_paragraph_stats,
         "catalog_stats": _q_catalog_stats,
         "multi_corpus_union": _q_multi_corpus_union,
@@ -1994,8 +2016,10 @@ GROUP BY d.source ORDER BY d.source
 # log-prob (each token's double is identical in both engines — only the
 # per-doc summation order differs, hence round 4 on the mean; CLAUDE.md
 # float discipline).
-_LM_QUALITY_ORACLE = r"""
-WITH reft AS (
+# Shared unigram-LM CTE block (reference slice doc_id % 5 = 0, add-1
+# smoothing) — single SQL source for the lm_quality_docs oracle and
+# the lm_ppl_buckets oracle built on the same scores.
+_LM_CTES = r"""reft AS (
   SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
   FROM documents WHERE doc_id % 5 = 0 AND length(trim(text)) > 0
 ), lm AS (
@@ -2015,7 +2039,10 @@ WITH reft AS (
          CAST(sum(oov) AS INT) AS n_oov,
          round(sum(lp) / count(*), 4) AS avg_logprob
   FROM j GROUP BY doc_id
-)
+)"""
+
+_LM_QUALITY_ORACLE = f"""
+WITH {_LM_CTES}
 SELECT d.doc_id,
        COALESCE(p.n_tokens, 0) AS n_tokens,
        COALESCE(p.n_oov, 0) AS n_oov,
@@ -2024,6 +2051,35 @@ SELECT d.doc_id,
          AS oov_frac,
        COALESCE(p.avg_logprob, 0.0) AS avg_logprob
 FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+def _ppl_buckets_oracle(head_frac: float = 0.3, tail_frac: float = 0.3) -> str:
+    """CCNet bucket oracle: the shared LM CTEs feed the same integer
+    rank rule perplexity_buckets compiles — thresholds come from the
+    operator's own _bucket_thresholds so engine and oracle cannot
+    drift; the (avg_logprob DESC, doc_id) order key is total, so both
+    engines rank the identical rounded doubles identically."""
+    from code_index_spark.operators.textstats import _PCT, _bucket_thresholds
+
+    head_thr, tail_thr = _bucket_thresholds(head_frac, tail_frac)
+    return f"""
+WITH {_LM_CTES}, sc AS (
+  SELECT d.doc_id, d.source, COALESCE(p.avg_logprob, 0.0) AS avg_logprob
+  FROM documents d LEFT JOIN per p USING (doc_id)
+), r AS (
+  SELECT doc_id, source, avg_logprob,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY avg_logprob DESC, doc_id
+         ) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM sc
+)
+SELECT doc_id, source, avg_logprob,
+       CASE WHEN (rn - 1) * {_PCT} < {head_thr} * n THEN 'head'
+            WHEN (n - rn) * {_PCT} < {tail_thr} * n THEN 'tail'
+            ELSE 'middle' END AS ppl_bucket
+FROM r ORDER BY doc_id
 """
 
 # Decontamination oracle: same eval/train slices and 3-gram windows;
@@ -2845,6 +2901,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_window_docs": _dup_window_oracle(window=4),
         "pack_sequences_docs": _pack_oracle(),
         "lm_quality_docs": _LM_QUALITY_ORACLE,
+        "lm_ppl_buckets": _ppl_buckets_oracle(head_frac=0.3, tail_frac=0.3),
         "corpus_report": _corpus_report_oracle(),
         "pii_docs": _pii_oracle(),
         "mixture_sample_docs": _mixture_oracle(),

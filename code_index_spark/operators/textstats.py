@@ -290,3 +290,185 @@ def fingerprint_sql(window: int = 8, table: str = "documents",
         f" list_min([{h} for i in range(1, len(words) - k + 2)]) END AS fingerprint "
         f"FROM kk ORDER BY id"
     )
+
+
+# ------------------------------------------------- perplexity buckets
+# CCNet's head/middle/tail split works in 10^-4 resolution like
+# split.hash_split's bucket space: thresholds are INTEGERS, so the
+# bucket rule is pure integer arithmetic on (rank, group size) and
+# replicates exactly in DuckDB.
+_PCT = 10_000
+
+
+def _bucket_thresholds(head_frac: float, tail_frac: float) -> tuple[int, int]:
+    if not (0.0 <= head_frac and 0.0 <= tail_frac and head_frac + tail_frac <= 1.0):
+        raise ValueError(
+            f"head/tail fractions must be >= 0 and sum <= 1, got "
+            f"({head_frac}, {tail_frac})"
+        )
+    return int(round(head_frac * _PCT)), int(round(tail_frac * _PCT))
+
+
+def perplexity_buckets(
+    scores: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    score_col: str = "avg_logprob",
+    head_frac: float = 0.3,
+    tail_frac: float = 0.3,
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing: within each group
+    (language in CCNet, source/domain in a mixture pipeline) rank
+    documents by LM score and label the best `head_frac` of the group
+    'head', the worst `tail_frac` 'tail', 'middle' between — CCNet
+    (Wenzek et al. 2019) keeps head+middle and drops tail; the
+    upstream score is unigram_lm_scores' avg_logprob (higher = more
+    reference-like, so DESC rank puts the head first).
+
+    Exactness: rank = row_number over (score DESC, id ASC) — the id
+    tie-break makes the order total, and the bucket rule is integer
+    arithmetic only ((rank-1)·10^4 < head_thr·n, the ceil-free form of
+    rank <= ceil(frac·n)), so the assignment value-hash-replicates in
+    DuckDB (driver row `lm_ppl_buckets`). A 1-doc group is 'head'
+    (head wins where the fractions overlap).
+
+    Scale: ONE shuffle on the group key; the per-group rank is
+    sequential WITHIN a group, which is fine when groups are languages
+    or sources (bounded count, each group streams through one window)
+    but serializes on a single giant group — there, use the
+    bucket_cutoffs/bucket_by_cutoffs pair below (sampled cutoffs +
+    broadcast compare, the shape CCNet itself uses: percentile
+    thresholds come from a sample of the corpus, not a global sort).
+
+    Reference parity: code-index gates content on per-block quality
+    thresholds (file_processing_helpers.py:55-57); group-relative
+    bucketing is the corpus-calibrated version of that gate."""
+    from pyspark.sql import Window
+
+    head_thr, tail_thr = _bucket_thresholds(head_frac, tail_frac)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    rn = F.row_number().over(w).cast("long")
+    n = F.count("*").over(Window.partitionBy(group_col)).cast("long")
+    bucket = (
+        F.when((rn - 1) * _PCT < head_thr * n, "head")
+        .when((n - rn) * _PCT < tail_thr * n, "tail")
+        .otherwise("middle")
+    )
+    return scores.select(
+        id_col, group_col, score_col, bucket.alias("ppl_bucket")
+    )
+
+
+def bucket_cutoffs(
+    scores: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    score_col: str = "avg_logprob",
+    head_frac: float = 0.3,
+    tail_frac: float = 0.3,
+    sample_frac: float = 1.0,
+    salt: str = "ppl-cut-v1",
+) -> DataFrame:
+    """Per-group bucket CUTOFFS — the scale path's calibration step.
+    Deterministically hash-samples `sample_frac` of each group (pure
+    function of (id, salt), the hash_split argument), ranks the sample
+    with perplexity_buckets' exact rule, and emits per group the
+    boundary (score, id) pairs:
+
+      head_cut — the LAST head row; a doc is 'head' iff it ranks at or
+                 before it under (score DESC, id ASC)
+      tail_cut — the LAST non-tail row; a doc is 'tail' iff it ranks
+                 strictly after it
+
+    The output is group-scale (2 structs per group): broadcast it into
+    bucket_by_cutoffs. At sample_frac=1.0 the composition reproduces
+    perplexity_buckets EXACTLY, ties included, because rank order and
+    the (score, id) tuple order are the same total order — pinned by
+    tests/test_textstats parity; at sample_frac<1 cutoffs are
+    approximate the way CCNet's sampled percentiles are."""
+    from ..functions.textfns import hash60
+    from pyspark.sql import Window
+
+    if not (0.0 < sample_frac <= 1.0):
+        raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")
+    head_thr, tail_thr = _bucket_thresholds(head_frac, tail_frac)
+    s = scores
+    if sample_frac < 1.0:
+        s_thr = int(round(sample_frac * _PCT))
+        bucket = F.pmod(
+            hash60(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))),
+            F.lit(_PCT),
+        )
+        s = s.filter(bucket < s_thr)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    rn = F.row_number().over(w).cast("long")
+    n = F.count("*").over(Window.partitionBy(group_col)).cast("long")
+    ranked = s.select(
+        group_col,
+        F.struct(F.col(score_col).alias("s"), F.col(id_col).alias("i"))
+         .alias("cut"),
+        rn.alias("rn"),
+        ((rn - 1) * _PCT < head_thr * n).alias("is_head"),
+        ((n - rn) * _PCT < tail_thr * n).alias("is_tail"),
+    )
+    return ranked.groupBy(group_col).agg(
+        F.max_by("cut", F.when(F.col("is_head"), F.col("rn"))).alias("head_cut"),
+        # last NON-TAIL row (head wins the head∧tail overlap, so heads
+        # count as non-tail); null ordering keys are skipped by max_by
+        F.max_by(
+            "cut",
+            F.when(F.col("is_head") | ~F.col("is_tail"), F.col("rn")),
+        ).alias("tail_cut"),
+        # distinguishes "group seen, every row tail" (head_frac=0 →
+        # both cuts null, docs are tail) from "group never sampled"
+        # (left-join nulls, docs fall to middle) in bucket_by_cutoffs
+        F.lit(True).alias("grp_seen"),
+    )
+
+
+def bucket_by_cutoffs(
+    scores: DataFrame,
+    cutoffs: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    score_col: str = "avg_logprob",
+) -> DataFrame:
+    """Assign head/middle/tail by comparing each doc's (score, id)
+    against its group's broadcast cutoffs — the 100 TB shape: the
+    corpus never sorts, never shuffles on the group key, and the whole
+    assignment is one codegen projection after a broadcast join
+    (cutoffs are group-scale by construction, so the broadcast hint is
+    safe — unlike reject sets, their size does not depend on the
+    data distribution).
+
+    Rank order under (score DESC, id ASC) equals tuple order, so
+    "ranks at or before head_cut" is (s > cut.s) OR (s = cut.s AND
+    id <= cut.i) — exact, no float thresholds. Docs in groups the
+    (sampled) cutoffs never saw fall to 'middle' (the conservative
+    default: kept by CCNet's head+middle policy but not trusted as
+    head)."""
+    j = scores.join(F.broadcast(cutoffs), group_col, "left")
+    s, i = F.col(score_col), F.col(id_col)
+    at_or_before_head = F.col("head_cut").isNotNull() & (
+        (s > F.col("head_cut.s"))
+        | ((s == F.col("head_cut.s")) & (i <= F.col("head_cut.i")))
+    )
+    after_tail = F.when(
+        F.col("tail_cut").isNotNull(),
+        (s < F.col("tail_cut.s"))
+        | ((s == F.col("tail_cut.s")) & (i > F.col("tail_cut.i"))),
+    ).otherwise(
+        # group seen but no non-tail row exists (head_frac=0): every
+        # row ranks "after" the empty non-tail prefix → tail
+        F.coalesce(F.col("grp_seen"), F.lit(False))
+    )
+    bucket = (
+        F.when(at_or_before_head, "head")
+        .when(after_tail, "tail")
+        .otherwise("middle")
+    )
+    return j.select(id_col, group_col, score_col, bucket.alias("ppl_bucket"))

@@ -645,3 +645,91 @@ def test_hash_split_deterministic_and_partition_invariant(spark):
     assert redrawn != a  # a new salt is a new draw
     with _pytest.raises(ValueError):
         hash_split(df, "doc_id", fractions={"train": 0.5, "val": 0.2})
+
+
+def _expected_buckets(rows, head_frac, tail_frac):
+    """Independent reimplementation: rank by (score DESC, id ASC),
+    head iff rank <= ceil(head_frac*n), tail iff rank > n - ceil(
+    tail_frac*n), head wins overlaps."""
+    import math
+
+    out = {}
+    by_grp = {}
+    for i, g, s in rows:
+        by_grp.setdefault(g, []).append((i, s))
+    for g, members in by_grp.items():
+        members.sort(key=lambda t: (-t[1], t[0]))
+        n = len(members)
+        n_head = math.ceil(head_frac * n - 1e-12)
+        n_tail = math.ceil(tail_frac * n - 1e-12)
+        for rank, (i, _s) in enumerate(members, start=1):
+            if rank <= n_head:
+                out[i] = "head"
+            elif rank > n - n_tail:
+                out[i] = "tail"
+            else:
+                out[i] = "middle"
+    return out
+
+
+@pytest.fixture(scope="module")
+def scored_groups(spark):
+    # two group sizes, planted score TIES (ids 20/21/22 share a score)
+    # so the id tie-break is actually exercised
+    rows = [
+        (10, "a", -1.0), (11, "a", -2.0), (12, "a", -3.0),
+        (20, "b", -1.5), (21, "b", -1.5), (22, "b", -1.5),
+        (23, "b", -4.0), (24, "b", -0.5), (25, "b", -9.0),
+        (26, "b", -3.5),
+        (30, "c", -2.0),                    # 1-doc group → head
+    ]
+    return rows, spark.createDataFrame(
+        rows, "doc_id long, source string, avg_logprob double"
+    )
+
+
+def test_perplexity_buckets_exact(spark, scored_groups):
+    """CCNet head/middle/tail bucketing (operators/textstats.py):
+    integer-threshold rank rule matches an independent ceil-based
+    reimplementation, ties broken by id, 1-doc groups are head."""
+    from code_index_spark.operators.textstats import perplexity_buckets
+
+    rows, df = scored_groups
+    for hf, tf in [(0.3, 0.3), (1 / 3, 1 / 3), (0.5, 0.5), (0.0, 1.0)]:
+        got = {r["doc_id"]: r["ppl_bucket"]
+               for r in perplexity_buckets(df, "source", head_frac=hf,
+                                           tail_frac=tf).collect()}
+        assert got == _expected_buckets(rows, hf, tf), (hf, tf)
+    with pytest.raises(ValueError):
+        perplexity_buckets(df, "source", head_frac=0.7, tail_frac=0.5)
+
+
+def test_bucket_cutoffs_parity(spark, scored_groups):
+    """The broadcast-cutoff scale path reproduces the exact rank path
+    at sample_frac=1.0 — ties, 1-doc groups, and the all-tail
+    (head_frac=0) degenerate case included; groups absent from the
+    cutoff table fall to middle."""
+    from code_index_spark.operators.textstats import (
+        bucket_by_cutoffs,
+        bucket_cutoffs,
+        perplexity_buckets,
+    )
+
+    _rows, df = scored_groups
+    for hf, tf in [(0.3, 0.3), (0.5, 0.5), (0.0, 1.0)]:
+        exact = {r["doc_id"]: r["ppl_bucket"]
+                 for r in perplexity_buckets(df, "source", head_frac=hf,
+                                             tail_frac=tf).collect()}
+        cuts = bucket_cutoffs(df, "source", head_frac=hf, tail_frac=tf)
+        via = {r["doc_id"]: r["ppl_bucket"]
+               for r in bucket_by_cutoffs(df, cuts, "source").collect()}
+        assert via == exact, (hf, tf)
+    # cutoffs computed on groups a/b only: group c unseen → middle
+    cuts_ab = bucket_cutoffs(df.filter(F.col("source") != "c"), "source")
+    via = {r["doc_id"]: r["ppl_bucket"]
+           for r in bucket_by_cutoffs(df, cuts_ab, "source").collect()}
+    assert via[30] == "middle"
+    # sampling is deterministic: same salt → same cutoffs row set
+    a = bucket_cutoffs(df, "source", sample_frac=0.6).collect()
+    b = bucket_cutoffs(df, "source", sample_frac=0.6).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
