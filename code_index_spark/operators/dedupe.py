@@ -541,6 +541,19 @@ def embedding_cosine_pairs(
     )
 
 
+def _sign_bucket(vec_name: str, sign_coords: int):
+    """Packed sign bits of the first `sign_coords` coordinates — the
+    zero-float-arithmetic cell id shared by the blocked pair join and
+    semantic_dedupe (DuckDB twin: coord_bucket_sql)."""
+    bucket = None
+    for i in range(sign_coords):
+        bit = F.when(
+            F.element_at(vec_name, i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
 def embedding_cosine_pairs_blocked(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.3,
     sign_coords: int = 6,
@@ -553,10 +566,7 @@ def embedding_cosine_pairs_blocked(
     the bucket is computed with zero float arithmetic, so a DuckDB
     oracle replicates it bit-for-bit (see entry `embedding_dup_pairs_blocked`)."""
     base = _vec_base(df, id_col, vec_col)
-    bucket = None
-    for i in range(sign_coords):
-        bit = F.when(F.element_at("v", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
+    bucket = _sign_bucket("v", sign_coords)
     a = base.withColumn("bucket", bucket).alias("a")
     b = base.withColumn("bucket", bucket).alias("b")
     return (
@@ -566,6 +576,68 @@ def embedding_cosine_pairs_blocked(
             F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")))
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+    )
+
+
+def semantic_dedupe(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.3,
+    sign_coords: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023:
+    cluster embeddings, drop all but one of each within-cluster
+    near-identical group): documents whose EMBEDDINGS are near-
+    duplicates are pruned even when their text is not — the dedup
+    layer text hashing and minhash cannot see. Per doc:
+
+      cell             — the doc's semantic cell (coordinate-sign
+                         bucket; the deterministic, oracle-exact
+                         stand-in for SemDeDup's k-means cluster — the
+                         KMeans cells of simsearch.ivf_cells slot in
+                         at scale, trading the value-hash oracle for
+                         the pytest recall gate, same trade as ivf_topk)
+      n_dup_neighbors  — intra-cell neighbors with cosine ≥ threshold
+      is_semantic_dup  — doc has a SMALLER-ID neighbor ≥ threshold, so
+                         it is pruned under the min-id survivor policy
+                         (the curate.reject_sets convention: exactly
+                         one doc of each pairwise-duplicate group
+                         chain survives)
+
+    Scale shape: candidate pairs are intra-cell only (linear in cell
+    sizes, never all-pairs — the embedding_cosine_pairs_blocked
+    argument); the neighbor rollup is a map-side-combinable groupBy on
+    8-byte ids. SemDeDup's own policy (keep the doc farthest from the
+    centroid) needs float centroid arithmetic that cannot replicate
+    across engines; min-id keeps the same dedup rate and stays
+    value-hash-oracle-able (driver row `semantic_dedup_docs`).
+
+    Reference parity: code-index dedupes points by deterministic
+    chunk-hash ids (vector_store.py:203-210) — identical embeddings
+    collapse; this prunes NEAR-identical embeddings too."""
+    base = _vec_base(df, id_col, vec_col).withColumn(
+        "cell", _sign_bucket("v", sign_coords)
+    )
+    pairs = embedding_cosine_pairs_blocked(
+        df, id_col, vec_col, threshold, sign_coords
+    )
+    both = pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("nb")).union(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb"))
+    )
+    nstats = both.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_dup_neighbors"),
+        (F.max(F.when(F.col("nb") < F.col("id"), 1).otherwise(0)) == 1)
+         .alias("is_semantic_dup"),
+    )
+    return (
+        base.select("id", "cell")
+        .join(nstats, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "cell",
+            F.coalesce(F.col("n_dup_neighbors"), F.lit(0).cast("long"))
+             .alias("n_dup_neighbors"),
+            F.coalesce(F.col("is_semantic_dup"), F.lit(False))
+             .alias("is_semantic_dup"),
+        )
     )
 
 

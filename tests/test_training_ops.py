@@ -733,3 +733,28 @@ def test_bucket_cutoffs_parity(spark, scored_groups):
     a = bucket_cutoffs(df, "source", sample_frac=0.6).collect()
     b = bucket_cutoffs(df, "source", sample_frac=0.6).collect()
     assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_semantic_dedupe(spark):
+    """SemDeDup-style pruning (operators/dedupe.py): near-identical
+    embeddings in the same sign cell are grouped, min-id survives,
+    opposite-sign vectors never pair (different cell)."""
+    from code_index_spark.operators.dedupe import semantic_dedupe
+
+    rows = [
+        (0, [1.0, 2.0, 0.5]),
+        (1, [1.0, 2.0, 0.5]),      # identical to 0 → pruned
+        (2, [1.01, 2.0, 0.5]),     # near-identical to 0/1 → pruned
+        (3, [-1.0, -2.0, -0.5]),   # opposite cell, never compared
+        (4, [2.0, -1.0, 0.1]),     # same-cell-as-nobody similar
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = {r["doc_id"]: r for r in
+           semantic_dedupe(df, "vec_id", "v", threshold=0.95,
+                           sign_coords=3).collect()}
+    assert not out[0]["is_semantic_dup"] and out[0]["n_dup_neighbors"] == 2
+    assert out[1]["is_semantic_dup"] and out[2]["is_semantic_dup"]
+    assert not out[3]["is_semantic_dup"] and out[3]["n_dup_neighbors"] == 0
+    assert not out[4]["is_semantic_dup"]
+    # cells: 0/1/2 share a cell, 3 is in the all-negative cell
+    assert out[0]["cell"] == out[2]["cell"] != out[3]["cell"]
