@@ -1083,6 +1083,35 @@ def _q_dup_window_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_passage_dedup_docs(spark, sf_dir):
+    """Exact duplicated-passage REMOVAL (Lee et al. exact-substring
+    dedup): every window that occurs more than once corpus-wide keeps
+    only its first (min doc_id, position) occurrence; the cleaned text
+    itself is value-hashed against the oracle's string_agg rebuild.
+    window=4 for the same saturation reason as dup_window_docs."""
+    from code_index_spark.operators.dedupe import remove_duplicated_passages
+
+    tbl = load_tables(spark, sf_dir)
+    return remove_duplicated_passages(
+        tbl["documents"], "doc_id", "text", window=4
+    ).orderBy("doc_id")
+
+
+def _q_dsir_weights_docs(spark, sf_dir):
+    """DSIR importance resampling surface: hashed-bigram log-likelihood
+    ratio of the lang='en' target slice vs the raw corpus, quantized
+    to integer millinats, plus the deterministic Gumbel key whose
+    top-k IS the importance sample. Weights, noise, and keys are all
+    integers — the whole query value-hash-replicates in DuckDB."""
+    from code_index_spark.operators.textstats import dsir_weights
+
+    tbl = load_tables(spark, sf_dir)
+    docs = tbl["documents"]
+    return dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), "doc_id", "text"
+    ).orderBy("doc_id")
+
+
 def _q_corpus_report(spark, sf_dir):
     """The per-source corpus dashboard a data-pipeline owner reads:
     doc/char/token counts, mean quality, predicted-language breakdown
@@ -1513,6 +1542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "fingerprint_docs": _q_fingerprint_docs,
         "dup_window_docs": _q_dup_window_docs,
+        "passage_dedup_docs": _q_passage_dedup_docs,
+        "dsir_weights_docs": _q_dsir_weights_docs,
         "pack_sequences_docs": _q_pack_sequences_docs,
         "lm_quality_docs": _q_lm_quality_docs,
         "lm_ppl_buckets": _q_lm_ppl_buckets,
@@ -1538,11 +1569,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comention_degree": _q_comention_degree,
         "pagerank_mentions": _q_pagerank_mentions,
         "windowed_triple_counts": _q_windowed_triple_counts,
-        "first_mentions_batch": _q_first_mentions_batch,
-        "conv_profiles": _q_conv_profiles,
         # --- driver 50-query sample window ends here (position 50);
         # everything below is driver-green from earlier rounds or
         # rows-only, and the `-m slow` sweep re-checks all of it ---
+        "first_mentions_batch": _q_first_mentions_batch,
+        "conv_profiles": _q_conv_profiles,
         "conv_triple_metrics": _q_conv_triple_metrics,
         "kv_section_stats": _q_kv_section_stats,
         "paragraph_stats": _q_paragraph_stats,
@@ -1959,6 +1990,108 @@ SELECT b.doc_id, CAST(b.n_windows AS INT) AS n_windows,
                   ELSE 0.0 END, 6) AS dup_window_frac
 FROM b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id
 """
+
+def _passage_dedup_oracle(window: int) -> str:
+    """Passage-removal oracle: raw window strings elect the global
+    first owner (min (doc_id, p) struct — the engine's min struct over
+    hash60 longs, same winner sans ~1e-12 collisions); covered token
+    positions come from exploding only the REMOVED windows, and the
+    cleaned text is rebuilt by an ordered string_agg over surviving
+    token positions."""
+    w1 = window - 1
+    return rf"""
+WITH w AS (
+  SELECT doc_id, trim(text) AS t,
+         string_split_regex(trim(text), '\s+') AS words
+  FROM documents
+), pos AS (
+  SELECT doc_id, u.p, u.g FROM (
+    SELECT doc_id, unnest(
+      [{{'p': i, 'g': array_to_string(words[i:i+{w1}], ' ')}}
+       for i in range(1, len(words) - {w1} + 1)]) AS u
+    FROM w WHERE length(t) > 0 AND len(words) >= {window})
+), own AS (
+  SELECT g, count(*) AS n_occ, min(struct_pack(d := doc_id, p := p)) AS o
+  FROM pos GROUP BY g
+), rem AS (
+  SELECT pos.doc_id, pos.p
+  FROM pos JOIN own USING (g)
+  WHERE n_occ >= 2 AND NOT (pos.doc_id = o.d AND pos.p = o.p)
+), cov AS (
+  SELECT DISTINCT doc_id, unnest(range(p, p + {window})) AS ti FROM rem
+), nc AS (
+  SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id
+), toks AS (
+  SELECT doc_id, u.ti, u.tok FROM (
+    SELECT doc_id, unnest([{{'ti': i, 'tok': words[i]}}
+                           for i in range(1, len(words) + 1)]) AS u
+    FROM w WHERE length(t) > 0)
+), clean AS (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.ti) AS cleaned
+  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.ti = c.ti
+  WHERE c.ti IS NULL GROUP BY t.doc_id
+)
+SELECT w.doc_id,
+  CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(words) END AS INT) AS n_tokens,
+  CAST(COALESCE(nc.n_cov, 0) AS INT) AS n_removed,
+  round(CASE WHEN length(t) = 0 THEN 0.0
+             ELSE COALESCE(nc.n_cov, 0) * 1.0 / len(words) END, 6)
+    AS removed_frac,
+  COALESCE(clean.cleaned, '') AS cleaned_text
+FROM w LEFT JOIN nc USING (doc_id) LEFT JOIN clean USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+
+def _dsir_oracle(n_buckets: int = 4096) -> str:
+    """DSIR oracle: every emitted number is an integer (millinat
+    lambda table, integer per-doc sums, 52-bit-hash Gumbel), so the
+    only float ops are one ln per bucket and two ln per doc on
+    identical doubles — no float summation to drift."""
+    two52 = float(2 ** 52)
+    return rf"""
+WITH dw AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+  FROM documents WHERE length(trim(text)) > 0
+), dg AS (
+  SELECT doc_id, unnest([array_to_string(words[i:i+1], ' ')
+                         for i in range(1, len(words))]) AS g
+  FROM dw WHERE len(words) >= 2
+), db AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {n_buckets} AS b
+  FROM dg
+), tb AS (
+  SELECT db.b FROM db JOIN documents USING (doc_id) WHERE lang = 'en'
+), tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb GROUP BY b
+), rc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM db GROUP BY b
+), tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM tb
+), tr AS (SELECT CAST(count(*) AS BIGINT) AS tr FROM db
+), lam AS (
+  SELECT rc.b,
+    CAST(round(1000 * ln(
+      CAST((COALESCE(tc.ct, 0) + 1) * (tr.tr + {n_buckets}) AS DOUBLE)
+      / CAST((rc.cr + 1) * (tt.tt + {n_buckets}) AS DOUBLE))) AS BIGINT)
+      AS lam_milli
+  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tt CROSS JOIN tr
+), per AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+         CAST(sum(lam_milli) AS BIGINT) AS weight_milli
+  FROM db JOIN lam USING (b) GROUP BY doc_id
+), gb AS (
+  SELECT doc_id,
+    CAST(round(1000 * (-ln(-ln(
+      (CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 13))
+            AS BIGINT) + 0.5) / {two52!r})))) AS BIGINT) AS gumbel_milli
+  FROM documents)
+SELECT d.doc_id, COALESCE(per.n_grams, 0) AS n_grams,
+  COALESCE(per.weight_milli, 0) AS weight_milli,
+  gb.gumbel_milli,
+  COALESCE(per.weight_milli, 0) + gb.gumbel_milli AS sample_key_milli
+FROM documents d LEFT JOIN per USING (doc_id) JOIN gb USING (doc_id)
+ORDER BY d.doc_id
+"""
+
 
 def _corpus_report_oracle() -> str:
     """Per-source corpus dashboard: composes the quality-score,
@@ -2933,6 +3066,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_docs": _REPETITION_ORACLE,
         "decontaminate_docs": _DECONTAM_ORACLE,
         "dup_window_docs": _dup_window_oracle(window=4),
+        "passage_dedup_docs": _passage_dedup_oracle(window=4),
+        "dsir_weights_docs": _dsir_oracle(),
         "pack_sequences_docs": _pack_oracle(),
         "lm_quality_docs": _LM_QUALITY_ORACLE,
         "lm_ppl_buckets": _ppl_buckets_oracle(head_frac=0.3, tail_frac=0.3),

@@ -18,6 +18,18 @@ def hash60(col):
 HASH60_SQL = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 
 
+def hash52(col):
+    """52-bit md5 prefix hash (13 hex chars). Use where the hash feeds
+    FLOAT arithmetic: every value < 2^52 is exactly representable as a
+    double, so (h + 0.5) / 2^52 is a strict-(0,1) uniform computed
+    identically in Spark and DuckDB — no bigint→double rounding at the
+    2^60 magnitude where doubles lose low bits."""
+    return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
+
+
+HASH52_SQL = "CAST(('0x' || substr(md5({x}), 1, 13)) AS BIGINT)"
+
+
 def word_grams(words, gram_n: int):
     """Space-joined word `gram_n`-grams of an array<string> column,
     built by chaining zip_with against shifted copies — one pass per

@@ -170,6 +170,113 @@ def duplicated_window_stats(
     )
 
 
+def remove_duplicated_passages(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> DataFrame:
+    """Exact duplicated-passage REMOVAL — the actual edit step of Lee
+    et al. 2021 exact-substring dedup (duplicated_window_stats is the
+    signal; this cuts the text). Rule: a `window`-word shingle that
+    occurs more than once in the corpus (any doc, intra-doc repeats
+    included) keeps exactly its FIRST occurrence — min (doc_id,
+    position) lexicographically — and every other occurrence's token
+    span is deleted; overlapping deleted spans merge at the token
+    level. Returns per doc:
+
+      n_tokens     — whitespace token count of the input
+      n_removed    — tokens deleted (distinct covered positions)
+      removed_frac — n_removed / n_tokens (0.0 for empty docs)
+      cleaned_text — surviving tokens joined by single spaces (the
+                     whitespace-normalized form; '' when everything
+                     was duplicated elsewhere first)
+
+    Scale shape: the text is scanned once into (doc, pos, hash60)
+    long-triples; the first-owner election is a map-side-combinable
+    min(struct(doc, pos)) + count per hash (one exchange of longs),
+    the owner join is hash-keyed, and coverage explodes only the
+    REMOVED windows (bounded by the duplication volume, not the
+    corpus). The final token filter is per-row codegen over the doc's
+    own words array — the corpus text itself never shuffles. The
+    DuckDB oracle joins raw window strings where the engine joins
+    hash60 longs (the decontam collision argument: ~1e-12 at corpus
+    window universes).
+
+    Reference parity: code-index dedupes whole chunks by point-id
+    hash (vector_store.py:203-210); passage-level cutting is the
+    corpus-scale refinement RefinedWeb/Dolma apply."""
+    from ..functions.textfns import hash60
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(
+        F.size(words)
+    )
+    n_win = F.greatest(n_words - (window - 1), F.lit(0))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("words"),
+        n_words.alias("n_tokens"),
+        n_win.alias("n_win"),
+    )
+    # (doc, 1-based position, window hash): posexplode is 0-based
+    pos = (
+        base.filter(F.col("n_win") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_win")),
+                    lambda i: hash60(
+                        F.concat_ws(" ", F.slice(F.col("words"), i, window))
+                    ),
+                )
+            ).alias("p0", "gh"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "gh")
+    )
+    own = pos.groupBy("gh").agg(
+        F.count("*").alias("n_occ"),
+        F.min(F.struct("doc_id", "p")).alias("o"),
+    )
+    rem = (
+        pos.join(own, "gh")
+        .filter(
+            (F.col("n_occ") >= 2)
+            & ~((F.col("doc_id") == F.col("o.doc_id"))
+                & (F.col("p") == F.col("o.p")))
+        )
+        .select("doc_id", "p")
+    )
+    cov = (
+        rem.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + (window - 1))
+            ).alias("ti"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("ti").alias("covered"))
+    )
+    joined = base.join(cov, "doc_id", "left").withColumn(
+        "covered", F.coalesce(F.col("covered"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("words"),
+        lambda x, i: ~F.array_contains(F.col("covered"), (i + 1).cast("int")),
+    )
+    return joined.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.size("covered").cast("int").alias("n_removed"),
+        F.round(
+            F.when(F.col("n_tokens") > 0,
+                   F.size("covered") / F.col("n_tokens"))
+            .otherwise(F.lit(0.0)), 6,
+        ).alias("removed_frac"),
+        F.when(F.col("n_tokens") == 0, F.lit("")).otherwise(
+            F.array_join(kept, " ")
+        ).alias("cleaned_text"),
+    )
+
+
 # ----------------------------------------------------------- minhash-lsh
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, grams) with the narrow-input spread applied BEFORE the gram

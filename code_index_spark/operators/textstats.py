@@ -252,6 +252,117 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
     return df.withColumn("ws_tokens", ws).withColumn("bpe_tokens", bpe)
 
 
+def dsir_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+    gram_n: int = 2,
+    salt: str = "dsir",
+    broadcast_features: bool = True,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every doc
+    in `df` by how much more likely its hashed n-gram features are
+    under a TARGET corpus (the curated slice you want more of) than
+    under the raw corpus itself, then attach a Gumbel key so top-k by
+    `sample_key_milli` IS importance resampling (the Gumbel-top-k
+    trick: argmax of weight + Gumbel ~ sampling ∝ exp(weight)).
+
+      n_grams          — hashed `gram_n`-gram feature count
+      weight_milli     — Σ_grams λ(bucket(gram)) in integer millinats,
+                         λ(b) = ln((c_t(b)+1)(T_r+K) / ((c_r(b)+1)(T_t+K)))
+                         (add-1-smoothed log-likelihood ratio of the
+                         target vs raw hashed-feature distributions)
+      gumbel_milli     — deterministic per-doc Gumbel noise in milli
+                         units, -ln(-ln(u)) with u from a 52-bit md5
+                         hash of (salt, id) — a pure function of the
+                         id, reproducible across runs and engines
+      sample_key_milli — weight_milli + gumbel_milli; take the top-k
+
+    Exactness discipline: λ is quantized to INTEGER millinats at the
+    bucket table (one ln per bucket on a double built from exact
+    integer products — identical in Spark and DuckDB), so the per-doc
+    sum is order-free integer arithmetic; the only other float op is
+    the per-doc double-ln of an exactly-representable uniform
+    (functions/textfns.hash52). No float summation anywhere — the
+    drift that makes naive per-gram log-prob sums un-oracle-able.
+
+    Scale shape: features are hashed into `n_buckets` buckets, so both
+    distribution tables are K rows regardless of corpus size — they
+    broadcast (broadcast_features=False degrades to a shuffle join for
+    pathological K). The corpus is scanned once per side into
+    (doc, bucket) longs; the per-doc weight aggregation is map-side
+    partial. Totals ride 1-row broadcast cross joins, never a collect.
+
+    Reference parity: code-index has no data-selection stage (its
+    corpus is a workspace); DSIR is the standard pretraining-pipeline
+    member of this operator family."""
+    from ..functions.textfns import hash52, hash60, word_grams
+
+    K = n_buckets
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    nonempty = F.length(F.trim(F.col(text_col))) > 0
+
+    def buckets(side: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col).alias("doc_id")] if with_id else []
+        g = side.filter(nonempty).select(
+            *cols, F.explode(word_grams(words, gram_n)).alias("g")
+        )
+        return g.select(
+            *(["doc_id"] if with_id else []),
+            (hash60(F.col("g")) % K).alias("b"),
+        )
+
+    tb = buckets(target_df, with_id=False)
+    db = buckets(df, with_id=True)
+    tc = tb.groupBy("b").agg(F.count("*").alias("ct"))
+    rc = db.groupBy("b").agg(F.count("*").alias("cr"))
+    # totals: two 1-row aggs joined — never a driver collect
+    tt = tc.agg(F.sum("ct").cast("long").alias("tt"))
+    tr = rc.agg(F.sum("cr").cast("long").alias("tr"))
+    lam = (
+        rc.join(tc, "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "b",
+            F.round(
+                1000
+                * F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                     * (F.col("tr") + K)).cast("double")
+                    / ((F.col("cr") + 1) * (F.col("tt") + K)).cast("double")
+                )
+            ).cast("long").alias("lam_milli"),
+        )
+    )
+    lam_side = F.broadcast(lam) if broadcast_features else lam
+    per = db.join(lam_side, "b").groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_grams"),
+        F.sum("lam_milli").cast("long").alias("weight_milli"),
+    )
+    u = (hash52(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string")))
+         + F.lit(0.5)) / F.lit(float(2 ** 52))
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        ids.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("weight_milli"), F.lit(0).cast("long"))
+             .alias("weight_milli"),
+            F.round(1000 * -F.log(-F.log(u))).cast("long")
+             .alias("gumbel_milli"),
+        )
+        .withColumn(
+            "sample_key_milli",
+            F.col("weight_milli") + F.col("gumbel_milli"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str, window: int = 8) -> DataFrame:
     """Winnowing-style document fingerprint: min of 60-bit md5 hashes
     over sliding `window`-word shingles. Pure Catalyst — the window

@@ -758,3 +758,56 @@ def test_semantic_dedupe(spark):
     assert not out[4]["is_semantic_dup"]
     # cells: 0/1/2 share a cell, 3 is in the all-negative cell
     assert out[0]["cell"] == out[2]["cell"] != out[3]["cell"]
+
+
+def test_remove_duplicated_passages(spark):
+    """Exact-substring removal (operators/dedupe.py): the global first
+    (min doc_id, min position) occurrence of a duplicated window
+    survives, every other occurrence's span is cut, overlapping cut
+    spans merge at the token level, and intra-doc repeats keep only
+    their first position."""
+    from code_index_spark.operators.dedupe import remove_duplicated_passages
+
+    rows = [
+        (0, "a b c d e"),      # owns "a b c", "b c d"; "c d e" unique
+        (1, "x y a b c d"),    # abc@3 + bcd@4 duplicated → cut 3..6
+        (2, "k k k k k"),      # kkk@1 owns; @2,@3 cut → tokens 2..5 gone
+        (3, "m n"),            # shorter than window: untouched
+        (4, ""),               # empty stays empty
+        (5, "a b c"),          # whole doc is doc0's window → emptied
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_duplicated_passages(docs, "doc_id", "text",
+                                      window=3).collect()}
+    assert out[0]["n_removed"] == 0 and out[0]["cleaned_text"] == "a b c d e"
+    assert out[1]["cleaned_text"] == "x y" and out[1]["n_removed"] == 4
+    assert out[2]["cleaned_text"] == "k" and out[2]["n_removed"] == 4
+    assert out[3]["cleaned_text"] == "m n" and out[3]["n_removed"] == 0
+    assert out[4]["n_tokens"] == 0 and out[4]["cleaned_text"] == ""
+    assert out[5]["cleaned_text"] == "" and out[5]["removed_frac"] == 1.0
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """DSIR importance weights (operators/textstats.py): docs sharing
+    the target slice's bigrams outweigh off-target docs; gram-less
+    docs get weight 0; the Gumbel key is a deterministic pure function
+    of (salt, id)."""
+    from code_index_spark.operators.textstats import dsir_weights
+
+    on = "alpha beta gamma delta alpha beta"
+    off = "zeta eta theta iota kappa mu"
+    rows = [(i, on) for i in range(4)] + \
+           [(i, off) for i in range(4, 8)] + [(8, ""), (9, "solo")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter(F.col("doc_id") < 2)  # target looks like `on`
+    out = {r["doc_id"]: r for r in
+           dsir_weights(docs, target, "doc_id", "text").collect()}
+    assert all(out[i]["weight_milli"] > out[j]["weight_milli"]
+               for i in range(4) for j in range(4, 8))
+    for i in (8, 9):  # no bigrams → zero weight, Gumbel-only key
+        assert out[i]["n_grams"] == 0 and out[i]["weight_milli"] == 0
+        assert out[i]["sample_key_milli"] == out[i]["gumbel_milli"]
+    again = {r["doc_id"]: r["gumbel_milli"] for r in
+             dsir_weights(docs, target, "doc_id", "text").collect()}
+    assert again == {k: v["gumbel_milli"] for k, v in out.items()}
