@@ -428,6 +428,67 @@ def minhash_verified_pairs(
     )
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate CLUSTER assignment: minhash-verified pairs →
+    connected components → engine-portable labels. Every doc gets
+    (doc_id, cluster_id, cluster_size) where cluster_id is the MIN
+    doc id in its component (singletons label themselves) — the
+    relabeling that makes the transitive-closure output value-
+    comparable across engines, unlike the raw xxhash64 component
+    labels canon.connected_components uses internally. This is the
+    "keep one per cluster" unit real dedup pipelines act on when
+    pairwise survivor policies (curate's min-id-per-PAIR) under-merge
+    chains A~B~C where A~C itself is below threshold.
+
+    Requires an integral id column (cluster_id = min id needs an
+    order; the cast round-trips through the CC surface strings).
+
+    Scale shape: pairs are LSH-blocked (never all-pairs), the
+    component graph is DUP-scale not corpus-scale, and CC is
+    size-routed (driver union-find ≤10⁶ edges, star loop beyond —
+    canon.connected_components). The min-id relabel and size count
+    group on component/cluster keys of that same dup-scale table; the
+    corpus-sized joins move only (long, long) rows. The DuckDB oracle
+    closes the exact-Jaccard pair graph with a recursive CTE — fine at
+    oracle scale, the anti-scale shape the star loop replaces."""
+    from .canon import connected_components
+
+    pairs = minhash_verified_pairs(
+        df, id_col, text_col, n=n, threshold=threshold,
+        max_bucket=max_bucket,
+    )
+    comp = connected_components(
+        pairs.select(
+            F.col("id_a").cast("string").alias("surface_a"),
+            F.col("id_b").cast("string").alias("surface_b"),
+        )
+    ).select(
+        F.col("surface").cast("long").alias("doc_id"), "component"
+    )
+    relabel = comp.groupBy("component").agg(
+        F.min("doc_id").alias("cluster_id")
+    )
+    member = comp.join(relabel, "component").select("doc_id", "cluster_id")
+    ids = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    assigned = ids.join(member, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count("*").cast("int").alias("cluster_size")
+    )
+    return assigned.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
 # --------------------------------------------------------------- simhash
 # 60 bits (15 hex chars of md5): stays in BIGINT range in every engine
 # (ANSI Spark, DuckDB, Java) with no sign games, and 60 has many band

@@ -811,3 +811,26 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
     again = {r["doc_id"]: r["gumbel_milli"] for r in
              dsir_weights(docs, target, "doc_id", "text").collect()}
     assert again == {k: v["gumbel_milli"] for k, v in out.items()}
+
+
+def test_near_dup_clusters_transitive_chain(spark):
+    """Cluster assignment (operators/dedupe.py): a chain A~B~C merges
+    into ONE cluster labeled min-id even when A~C alone is below
+    threshold — the under-merge pairwise survivor policies miss;
+    singletons label themselves with size 1."""
+    from code_index_spark.operators.dedupe import near_dup_clusters
+
+    base = ("w%d " * 30).strip()
+    a = base % tuple(range(30))
+    b = a + " tailb tailc taild"          # ~a
+    c = b + " more1 more2 more3"          # ~b, farther from a
+    rows = [(10, a), (11, b), (12, c),
+            (13, "totally different content tokens here today")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           near_dup_clusters(docs, "doc_id", "text", n=3,
+                             threshold=0.8).collect()}
+    assert out[10]["cluster_id"] == out[11]["cluster_id"] \
+        == out[12]["cluster_id"] == 10
+    assert out[10]["cluster_size"] == 3
+    assert out[13]["cluster_id"] == 13 and out[13]["cluster_size"] == 1
