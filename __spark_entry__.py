@@ -1126,6 +1126,20 @@ def _q_dsir_weights_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_source_overlap(spark, sf_dir):
+    """Cross-source content-overlap matrix: distinct window-hash
+    containment for every ordered source pair — the pre-mixing
+    duplicate-mass measurement (and the post-decontam train/eval
+    disjointness check). window=4 for the dup_window_docs saturation
+    rationale."""
+    from code_index_spark.operators.dedupe import cross_source_overlap
+
+    tbl = load_tables(spark, sf_dir)
+    return cross_source_overlap(
+        tbl["documents"], "doc_id", "text", "source", window=4
+    ).orderBy("source_a", "source_b")
+
+
 def _q_corpus_report(spark, sf_dir):
     """The per-source corpus dashboard a data-pipeline owner reads:
     doc/char/token counts, mean quality, predicted-language breakdown
@@ -1562,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_docs": _q_pack_sequences_docs,
         "lm_quality_docs": _q_lm_quality_docs,
         "lm_ppl_buckets": _q_lm_ppl_buckets,
+        "source_overlap": _q_source_overlap,
         "corpus_report": _q_corpus_report,
         # event-time joins
         "events_prior_clicks": _q_events_prior_clicks,
@@ -1582,10 +1597,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_entities_named": _q_graph_entities_named,
         "edge_rollup_named": _q_edge_rollup_named,
         "comention_degree": _q_comention_degree,
-        "pagerank_mentions": _q_pagerank_mentions,
         # --- driver 50-query sample window ends here (position 50);
         # everything below is driver-green from earlier rounds or
         # rows-only, and the `-m slow` sweep re-checks all of it ---
+        "pagerank_mentions": _q_pagerank_mentions,
         "windowed_triple_counts": _q_windowed_triple_counts,
         "first_mentions_batch": _q_first_mentions_batch,
         "conv_profiles": _q_conv_profiles,
@@ -2045,6 +2060,46 @@ SELECT b.doc_id, CAST(b.n_windows AS INT) AS n_windows,
                   ELSE 0.0 END, 6) AS dup_window_frac
 FROM b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id
 """
+
+def _source_overlap_oracle(window: int) -> str:
+    """Cross-source overlap oracle: distinct (source, raw window
+    string) where the engine uses hash60 longs; every ordered pair is
+    materialized from a groups² cross join so zero-overlap pairs keep
+    a stable row."""
+    w1 = window - 1
+    return rf"""
+WITH w AS (
+  SELECT source, string_split_regex(trim(text), '\s+') AS words
+  FROM documents
+), gw AS (
+  SELECT DISTINCT src, g FROM (
+    SELECT source AS src,
+           unnest([array_to_string(words[i:i+{w1}], ' ')
+                   for i in range(1, len(words) - {w1} + 1)]) AS g
+    FROM w WHERE len(words) >= {window})
+), counts AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS n_windows FROM gw GROUP BY src
+), groups AS (SELECT DISTINCT source AS src FROM documents
+), shared AS (
+  SELECT a.src AS source_a, b.src AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM gw a JOIN gw b USING (g) WHERE a.src <> b.src GROUP BY 1, 2
+), pairs AS (
+  SELECT ga.src AS source_a, gb.src AS source_b
+  FROM groups ga, groups gb WHERE ga.src <> gb.src
+)
+SELECT p.source_a, p.source_b,
+  COALESCE(c.n_windows, 0) AS n_windows_a,
+  COALESCE(s.n_shared, 0) AS n_shared,
+  round(CASE WHEN COALESCE(c.n_windows, 0) > 0
+             THEN COALESCE(s.n_shared, 0) * 1.0 / c.n_windows
+             ELSE 0.0 END, 6) AS containment
+FROM pairs p
+LEFT JOIN shared s USING (source_a, source_b)
+LEFT JOIN counts c ON c.src = p.source_a
+ORDER BY source_a, source_b
+"""
+
 
 def _passage_dedup_oracle(window: int) -> str:
     """Passage-removal oracle: raw window strings elect the global
@@ -3123,6 +3178,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": _DECONTAM_ORACLE,
         "dup_window_docs": _dup_window_oracle(window=4),
         "passage_dedup_docs": _passage_dedup_oracle(window=4),
+        "source_overlap": _source_overlap_oracle(window=4),
         "dsir_weights_docs": _dsir_oracle(),
         "pack_sequences_docs": _pack_oracle(),
         "lm_quality_docs": _LM_QUALITY_ORACLE,

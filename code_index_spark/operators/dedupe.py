@@ -170,6 +170,90 @@ def duplicated_window_stats(
     )
 
 
+def cross_source_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Pairwise content overlap between corpus slices (sources,
+    snapshots, shards): for every ordered pair of groups (a, b),
+    how many of a's DISTINCT `window`-word shingles also occur in b —
+    the measurement a pipeline owner reads before mixing sources
+    (duplicate mass between crawls) or after (did decontamination
+    actually disjoint train from eval). Returns
+
+      source_a, source_b — ordered pair, a ≠ b, every pair present
+                           (zero-overlap pairs included)
+      n_windows_a        — |distinct shingles of a|
+      n_shared           — |shingles of a ∩ shingles of b|
+      containment        — n_shared / n_windows_a (0.0 if a is empty)
+
+    Scale shape: the text is scanned once into distinct (group,
+    hash60) longs — corpus-sized but 2 longs wide; the intersection is
+    an equi-join on the hash whose output is bounded by shared mass ×
+    group pairs, and the result is groups² rows. The group universe is
+    assumed small (sources, not docs) — the final all-pairs frame is a
+    broadcast cross join of two group-count tables.
+
+    Reference parity: code-index reports per-collection stats only
+    (collections list, vector_store.py catalog); cross-slice overlap
+    is the corpus-scale generalization."""
+    from ..functions.textfns import hash60
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(
+        F.size(words)
+    )
+    n_win = F.greatest(n_words - (window - 1), F.lit(0))
+    wins = F.when(
+        n_win > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: hash60(F.concat_ws(" ", F.slice(words, i, window))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    gw = (
+        df.select(F.col(group_col).alias("src"), F.explode(wins).alias("gh"))
+        .distinct()
+    )
+    counts = gw.groupBy("src").agg(F.count("*").alias("n_windows"))
+    groups = df.select(F.col(group_col).alias("src")).distinct()
+    shared = (
+        gw.alias("a")
+        .join(gw.alias("b"), "gh")
+        .filter(F.col("a.src") != F.col("b.src"))
+        .groupBy(F.col("a.src").alias("source_a"),
+                 F.col("b.src").alias("source_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    pairs = (
+        groups.select(F.col("src").alias("source_a"))
+        .crossJoin(groups.select(F.col("src").alias("source_b")))
+        .filter(F.col("source_a") != F.col("source_b"))
+    )
+    return (
+        pairs.join(shared, ["source_a", "source_b"], "left")
+        .join(F.broadcast(counts.withColumnRenamed("src", "source_a")
+                          .withColumnRenamed("n_windows", "n_windows_a")),
+              "source_a", "left")
+        .select(
+            "source_a", "source_b",
+            F.coalesce(F.col("n_windows_a"), F.lit(0)).cast("long")
+             .alias("n_windows_a"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long")
+             .alias("n_shared"),
+            F.round(
+                F.when(F.coalesce(F.col("n_windows_a"), F.lit(0)) > 0,
+                       F.coalesce(F.col("n_shared"), F.lit(0))
+                       / F.col("n_windows_a"))
+                .otherwise(F.lit(0.0)), 6,
+            ).alias("containment"),
+        )
+    )
+
+
 def remove_duplicated_passages(
     df: DataFrame, id_col: str, text_col: str, window: int = 8
 ) -> DataFrame:

@@ -834,3 +834,28 @@ def test_near_dup_clusters_transitive_chain(spark):
         == out[12]["cluster_id"] == 10
     assert out[10]["cluster_size"] == 3
     assert out[13]["cluster_id"] == 13 and out[13]["cluster_size"] == 1
+
+
+def test_cross_source_overlap(spark):
+    """Source-overlap matrix (operators/dedupe.py): containment is
+    directional (small source sharing everything vs big source sharing
+    a sliver), zero-overlap pairs keep a row, short docs emit no
+    windows."""
+    from code_index_spark.operators.dedupe import cross_source_overlap
+
+    rows = [
+        (0, "a b c d e", "wiki"),    # windows: abc bcd cde
+        (1, "a b c x y z", "crawl"), # abc shared with wiki; xyz/bcx/cxy own
+        (2, "p q r s", "books"),     # pqr qrs — no overlap with anyone
+        (3, "m n", "books"),         # too short, no windows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r for r in
+           cross_source_overlap(docs, "doc_id", "text", "source",
+                                window=3).collect()}
+    assert len(out) == 6  # 3 sources, all ordered pairs
+    assert out[("wiki", "crawl")]["n_shared"] == 1
+    assert out[("wiki", "crawl")]["containment"] == round(1 / 3, 6)
+    assert out[("crawl", "wiki")]["containment"] == 0.25  # 1 of 4
+    assert out[("books", "wiki")]["n_shared"] == 0
+    assert out[("books", "crawl")]["n_windows_a"] == 2
