@@ -158,3 +158,39 @@ def prepare_summary(df: DataFrame, eval_df: DataFrame, **kwargs) -> DataFrame:
     pipeline operator reads: what survived, where it landed, how much
     was scrubbed."""
     return summarize_labels(prepare_corpus(df, eval_df, **kwargs))
+
+
+def snapshot_diff(
+    old_df: DataFrame, new_df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Corpus snapshot diff — the added/removed/changed/unchanged
+    computation an incremental pipeline runs to decide what work the
+    next pass owes (the corpus-level generalization of the
+    checkpoint store's changed-file incremental skip,
+    sources/checkpoint.py; reference bar: code-index reindexes a file
+    when its hash changes, file_processing_helpers hash gate).
+
+      doc_id    — union of both snapshots' ids
+      status    — 'added' (new only) / 'removed' (old only) /
+                  'changed' (both, text hash differs) / 'unchanged'
+      old_hash / new_hash — md5 of the text on each side (NULL on the
+                  absent side), so downstream stages can route work
+                  without re-reading either snapshot
+
+    Scale shape: each side is hashed in its own scan BEFORE the one
+    full-outer shuffle on the id — the wide text column never crosses
+    the wire, only (id, 32-char hash). No collects, no windows."""
+    oh = old_df.select(
+        F.col(id_col).alias("doc_id"), F.md5(text_col).alias("old_hash")
+    )
+    nh = new_df.select(
+        F.col(id_col).alias("doc_id"), F.md5(text_col).alias("new_hash")
+    )
+    j = oh.join(nh, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), "added")
+        .when(F.col("new_hash").isNull(), "removed")
+        .when(F.col("old_hash") != F.col("new_hash"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select("doc_id", status.alias("status"), "old_hash", "new_hash")

@@ -859,3 +859,24 @@ def test_cross_source_overlap(spark):
     assert out[("crawl", "wiki")]["containment"] == 0.25  # 1 of 4
     assert out[("books", "wiki")]["n_shared"] == 0
     assert out[("books", "crawl")]["n_windows_a"] == 2
+
+
+def test_snapshot_diff(spark):
+    """Corpus diff (operators/prepare.py): full-outer on ids with
+    per-side hashes — added/removed/changed/unchanged routed exactly,
+    hashes NULL on the absent side."""
+    from code_index_spark.operators.prepare import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta edited"), (4, "delta")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           snapshot_diff(old, new, "doc_id", "text").collect()}
+    assert out[1]["status"] == "unchanged"
+    assert out[2]["status"] == "changed" and \
+        out[2]["old_hash"] != out[2]["new_hash"]
+    assert out[3]["status"] == "removed" and out[3]["new_hash"] is None
+    assert out[4]["status"] == "added" and out[4]["old_hash"] is None
