@@ -51,9 +51,18 @@ def test_dedupe_job_cli(spark, tmp_path, capsys):
     dedupe_job.main(["--input", in_dir, "--output", out, "--strategy", "verified",
                      "--threshold", "0.7"])
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert res["pairs"] >= 1  # the exact dup pair survives rescoring
+    assert res["rows"] >= 1  # the exact dup pair survives rescoring
     got = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(out).collect()}
     assert (0, 1) in got and all(3 not in p for p in got)
+
+    clean = str(tmp_path / "cleaned")
+    dedupe_job.main(["--input", in_dir, "--output", clean,
+                     "--strategy", "passages", "--window", "3"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 4  # one row per doc, cleaned corpus
+    cleaned = {r["doc_id"]: r for r in spark.read.parquet(clean).collect()}
+    assert cleaned[1]["cleaned_text"] == ""  # byte copy of 0, emptied
+    assert cleaned[0]["n_removed"] == 0
 
 
 def test_curate_job_cli(spark, tmp_path, capsys):
