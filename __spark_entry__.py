@@ -1072,6 +1072,21 @@ def _q_decontaminate_docs(spark, sf_dir):
     return decontaminate(tr, ev, "doc_id", "text", gram_n=3)
 
 
+def _q_decontam_bloom_docs(spark, sf_dir):
+    """The Bloom-prefiltered decontamination variant over the same
+    eval slice: a fixed 128 KiB sketch broadcasts instead of the gram
+    set, survivors exact-rescored — output (and oracle) IDENTICAL to
+    decontaminate_docs, making the driver row a false-positive-
+    elimination proof."""
+    from code_index_spark.operators.decontam import decontaminate_bloom
+
+    tbl = load_tables(spark, sf_dir)
+    docs = tbl["documents"]
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate_bloom(tr, ev, "doc_id", "text", gram_n=3)
+
+
 def _q_repetition_docs(spark, sf_dir):
     """Gopher-style repetition filters; the Spark side is the ZERO-
     shuffle sorted-gram fold, the oracle re-derives the gram mode via
@@ -1592,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "repetition_docs": _q_repetition_docs,
         "decontaminate_docs": _q_decontaminate_docs,
+        "decontam_bloom_docs": _q_decontam_bloom_docs,
         "pii_docs": _q_pii_docs,
         "mixture_sample_docs": _q_mixture_sample_docs,
         "token_counts": _q_token_counts,
@@ -1622,10 +1638,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_mentions_top": _q_entity_mentions_top,
         "graph_vertices_named": _q_graph_vertices_named,
         "graph_entities_named": _q_graph_entities_named,
-        "edge_rollup_named": _q_edge_rollup_named,
         # --- driver 50-query sample window ends here (position 50);
         # everything below is driver-green from earlier rounds or
         # rows-only, and the `-m slow` sweep re-checks all of it ---
+        "edge_rollup_named": _q_edge_rollup_named,
         "comention_degree": _q_comention_degree,
         "pagerank_mentions": _q_pagerank_mentions,
         "windowed_triple_counts": _q_windowed_triple_counts,
@@ -3224,6 +3240,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _QUALITY_ORACLE,
         "repetition_docs": _REPETITION_ORACLE,
         "decontaminate_docs": _DECONTAM_ORACLE,
+        "decontam_bloom_docs": _DECONTAM_ORACLE,
         "dup_window_docs": _dup_window_oracle(window=4),
         "passage_dedup_docs": _passage_dedup_oracle(window=4),
         "source_overlap": _source_overlap_oracle(window=4),

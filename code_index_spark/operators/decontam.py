@@ -72,3 +72,91 @@ def decontaminate(train_df: DataFrame, eval_df: DataFrame, id_col: str,
         .agg(F.count("*").alias("n_shared_grams"))
         .orderBy("doc_id")
     )
+
+
+def decontaminate_bloom(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_n: int = 8,
+    n_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """decontaminate() with a Bloom-filter prefilter — the crawl-scale
+    variant for when even the hashed eval-gram set is too large to
+    broadcast comfortably: the eval grams collapse to a FIXED-size bit
+    array (n_bits/8 bytes — 128 KiB at the default, independent of
+    eval-set size) shipped to every task as ONE broadcast row; corpus
+    grams failing any of the k bit tests are dropped map-side in the
+    scan stage, and only the surviving rows (true overlaps plus the
+    ~(n·k/m)^k false-positive mass) exact-join the eval grams to kill
+    false positives. Output is IDENTICAL to decontaminate() — same
+    (doc_id, n_shared_grams) rows, same DuckDB oracle — because the
+    Bloom stage only prunes, never decides.
+
+    Pure Catalyst and ANSI-safe: positions are Kirsch-Mitzenmacher
+    double hashing pos_i = (h1 + i·(h2 mod m)) mod m over the two
+    independent 60-bit halves of ONE md5 digest (hex chars 1-15 and
+    17-31 — the one-md5-two-hashes trick), the bit array is a groupBy
+    on the word index + BIT_OR of single-bit masks, membership is a
+    map lookup + shiftright on the broadcast row (SQL shiftleft/
+    shiftright take column shift amounts; the Python DSL wrappers do
+    not, hence F.expr). The survivor join is left to AQE — survivors
+    are runtime-small, and forcing a broadcast of the eval grams there
+    would re-create exactly the memory profile this variant avoids
+    (the round-4 curate ADVICE discipline).
+
+    Reference parity: same exclusion-by-overlap bar as decontaminate
+    (file_processing_helpers.py:55-57); the sketch replaces the set
+    the way web-scale pipelines (RefinedWeb/Dolma-class) do."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.array_distinct(word_grams(words, gram_n))
+
+    def hashed_grams(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col).alias("doc_id")] if with_id else []
+        g = df.select(*cols, F.explode(grams).alias("gram"))
+        out = g.select(
+            *(["doc_id"] if with_id else []),
+            hash60(F.col("gram")).alias("gh"),
+            # second independent 60-bit hash from the same digest,
+            # pre-reduced mod m so position arithmetic stays tiny
+            (F.conv(F.substring(F.md5(F.col("gram")), 17, 15), 16, 10)
+             .cast("long") % n_bits).alias("h2m"),
+        )
+        return out if with_id else out.distinct()
+
+    evh = hashed_grams(eval_df, with_id=False)
+    pos_sql = [f"((gh % {n_bits}) + {i} * h2m) % {n_bits}"
+               for i in range(k_hashes)]
+    pos = evh.select(
+        F.explode(F.array(*[F.expr(p) for p in pos_sql])).alias("p")
+    )
+    bloom = (
+        pos.select(
+            F.expr("cast(p div 64 as int)").alias("w"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    bm = bloom.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("w", "bits")))
+        ).alias("bm")
+    )
+    trh = hashed_grams(train_df, with_id=True)
+    tests = [
+        f"(shiftright(coalesce(try_element_at(bm,"
+        f" cast(({p}) div 64 as int)), 0L),"
+        f" cast(({p}) % 64 as int)) & 1L) = 1L"
+        for p in pos_sql
+    ]
+    cand = trh.crossJoin(F.broadcast(bm)).where(" AND ".join(tests))
+    return (
+        cand.select("doc_id", "gh")
+        .join(evh.select("gh"), "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )

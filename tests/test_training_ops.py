@@ -880,3 +880,27 @@ def test_snapshot_diff(spark):
         out[2]["old_hash"] != out[2]["new_hash"]
     assert out[3]["status"] == "removed" and out[3]["new_hash"] is None
     assert out[4]["status"] == "added" and out[4]["old_hash"] is None
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    """Bloom-prefiltered decontamination (operators/decontam.py) must
+    return exactly decontaminate()'s output — the sketch prunes, the
+    exact rescore decides — including at a deliberately TINY filter
+    (64 bits, saturated) where nearly every probe is a false positive
+    and the rescore does all the work."""
+    from code_index_spark.operators.decontam import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    rows = [(i, f"w{i} x{i} y{i} z{i} shared{i % 3} tail{i}")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    tr = docs.filter(F.col("doc_id") % 5 != 0)
+    want = sorted(map(tuple, decontaminate(tr, ev, "doc_id", "text",
+                                           gram_n=2).collect()))
+    for n_bits in (1 << 16, 64):
+        got = sorted(map(tuple, decontaminate_bloom(
+            tr, ev, "doc_id", "text", gram_n=2, n_bits=n_bits).collect()))
+        assert got == want, n_bits
