@@ -194,3 +194,61 @@ def snapshot_diff(
         .otherwise("unchanged")
     )
     return j.select("doc_id", status.alias("status"), "old_hash", "new_hash")
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 64,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + shard layout —
+    the step between a prepared corpus and a dataloader: every doc
+    gets a shard and an in-shard position from a salted hash, so the
+    training order is (a) pseudo-random, (b) a pure function of
+    (salt, id) — reproducible across runs, partitionings, and engines
+    — and (c) computed WITHOUT a global sort.
+
+      shard          — hash60(salt:id) % n_shards (balanced in
+                       expectation; hash keys don't skew)
+      pos            — dense 0-based rank within the shard, ordered by
+                       (hash, id): the in-shard read order
+      interleave_key — pos·n_shards + shard: unique; reading shards
+                       round-robin by pos IS ascending interleave_key,
+                       which defines one global shuffled order without
+                       any engine ever sorting the full corpus
+
+    Scale shape: ONE hash shuffle on `shard` plus a per-shard local
+    sort (the window partitions by shard, so sorts run in parallel and
+    each is 1/n_shards of the corpus). At 100 TB choose n_shards so a
+    shard fits an executor's sort spill budget (e.g. 4096 shards ×
+    ~25 GB); a global orderBy(hash) would instead range-sample and
+    range-shuffle the whole corpus to produce the same order this gets
+    by construction. Changing `salt` is a fresh epoch-level reshuffle.
+
+    Reference parity: code-index has no training-output stage; this is
+    the shard/shuffle layout member of the training-data family,
+    downstream of pack_sequences (operators/prepare.py pack path).
+    Determinism discipline matches split.hash_split (never
+    randomSplit)."""
+    from pyspark.sql import Window
+
+    from ..functions.textfns import hash60
+
+    hkey = hash60(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        hkey.alias("hkey"),
+        (hkey % n_shards).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return base.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    ).withColumn(
+        "interleave_key",
+        F.col("pos") * n_shards + F.col("shard"),
+    )

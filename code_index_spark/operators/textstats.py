@@ -363,6 +363,146 @@ def dsir_weights(
     )
 
 
+def seed_classifier(
+    df: DataFrame,
+    pos_df: DataFrame,
+    neg_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """fastText-style model-based quality filter (the FineWeb-Edu /
+    DCLM 'classifier filtering' stage): train a linear classifier over
+    hashed unigram+bigram features from two labeled SEED slices (docs
+    you want vs docs you don't), then score every doc in `df` with an
+    integer-millinat logit and a hard keep decision.
+
+    Training is closed-form multinomial Naive Bayes — per-bucket
+    add-1-smoothed log-likelihood ratios of the positive vs negative
+    seed feature distributions plus a seed-prior offset — so the whole
+    fit is two grouped counts, no gradient loop, no Python:
+
+      w(b)        = round(1000·ln((cp(b)+1)(TN+K) / ((cn(b)+1)(TP+K))))
+      prior_milli = round(1000·ln(Np / Nn))
+      logit_milli = prior_milli + Σ_feats coalesce(w(bucket), w∅)
+
+    where w∅ is the unseen-bucket weight (cp=cn=0) so scoring a doc
+    whose n-grams never appeared in either seed is still defined.
+    Everything emitted is an integer (weights quantized at the K-row
+    table exactly like dsir_weights' λ) or a boolean, so the operator
+    keeps a full DuckDB value-hash oracle — the usual float-summation
+    drift never enters.
+
+    Output: (doc_id, n_feats, logit_milli, pred_pos) with
+    pred_pos = logit_milli >= 0 (the keep decision at the NB decision
+    boundary; shift the threshold downstream for precision/recall
+    trades).
+
+    Scale shape: features hash into `n_buckets` buckets, so the weight
+    table is K rows regardless of seed size and broadcasts
+    (broadcast_weights=False degrades to a shuffle join for
+    pathological K). Each corpus is scanned once into (doc, bucket)
+    longs; the per-doc logit aggregation is map-side partial; totals
+    and the prior ride 1-row broadcast cross joins, never a collect.
+
+    Reference parity: code-index has no model-based filter (its corpus
+    is a trusted workspace); this is the standard classifier-filtering
+    member of the training-data operator family, next to dsir_weights
+    (unsupervised importance weights) and quality_features (rule
+    scores)."""
+    from ..functions.textfns import hash60, word_grams
+
+    K = n_buckets
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    nonempty = F.length(F.trim(F.col(text_col))) > 0
+
+    def buckets(side: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col).alias("doc_id")] if with_id else []
+        feats = F.concat(word_grams(words, 1), word_grams(words, 2))
+        g = side.filter(nonempty).select(
+            *cols, F.explode(feats).alias("g")
+        )
+        return g.select(
+            *(["doc_id"] if with_id else []),
+            (hash60(F.col("g")) % K).alias("b"),
+        )
+
+    pc = buckets(pos_df, with_id=False).groupBy("b").agg(
+        F.count("*").alias("cp"))
+    nc = buckets(neg_df, with_id=False).groupBy("b").agg(
+        F.count("*").alias("cn"))
+    tp = pc.agg(F.sum("cp").cast("long").alias("tp"))
+    tn = nc.agg(F.sum("cn").cast("long").alias("tn"))
+    np_ = pos_df.filter(nonempty).agg(
+        F.count("*").cast("long").alias("np"))
+    nn_ = neg_df.filter(nonempty).agg(
+        F.count("*").cast("long").alias("nn"))
+
+    def llr_milli(cp_col, cn_col):
+        return F.round(
+            1000
+            * F.log(
+                ((cp_col + 1) * (F.col("tn") + K)).cast("double")
+                / ((cn_col + 1) * (F.col("tp") + K)).cast("double")
+            )
+        ).cast("long")
+
+    wtab = (
+        pc.join(nc, "b", "full")
+        .crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(tn))
+        .select(
+            "b",
+            llr_milli(
+                F.coalesce(F.col("cp"), F.lit(0)),
+                F.coalesce(F.col("cn"), F.lit(0)),
+            ).alias("w_milli"),
+        )
+    )
+    # scalars every scored row needs: the unseen-bucket weight and the
+    # seed prior — one broadcast row, never a collect
+    consts = (
+        tp.crossJoin(tn).crossJoin(np_).crossJoin(nn_)
+        .select(
+            llr_milli(F.lit(0), F.lit(0)).alias("w_unseen_milli"),
+            F.round(
+                1000 * F.log(F.col("np").cast("double")
+                             / F.col("nn").cast("double"))
+            ).cast("long").alias("prior_milli"),
+        )
+    )
+    db = buckets(df, with_id=True)
+    wside = F.broadcast(wtab) if broadcast_weights else wtab
+    per = (
+        db.join(wside, "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_feats"),
+            F.sum(F.coalesce(F.col("w_milli"), F.lit(0).cast("long")))
+             .cast("long").alias("w_sum"),
+            F.sum(F.when(F.col("w_milli").isNull(), 1).otherwise(0))
+             .cast("long").alias("n_unseen"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        ids.join(per, "doc_id", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+            (
+                F.col("prior_milli")
+                + F.coalesce(F.col("w_sum"), F.lit(0).cast("long"))
+                + F.coalesce(F.col("n_unseen"), F.lit(0).cast("long"))
+                * F.col("w_unseen_milli")
+            ).alias("logit_milli"),
+        )
+        .withColumn("pred_pos", F.col("logit_milli") >= 0)
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str, window: int = 8) -> DataFrame:
     """Winnowing-style document fingerprint: min of 60-bit md5 hashes
     over sliding `window`-word shingles. Pure Catalyst — the window

@@ -904,3 +904,60 @@ def test_decontaminate_bloom_equals_exact(spark):
         got = sorted(map(tuple, decontaminate_bloom(
             tr, ev, "doc_id", "text", gram_n=2, n_bits=n_bits).collect()))
         assert got == want, n_bits
+
+
+def test_seed_classifier_separates_planted_classes(spark):
+    """Seed classifier (operators/textstats.py): NB logits trained on
+    two seed slices separate held-out docs of each class; byte-copies
+    score identically; empty text scores exactly the prior; a doc of
+    only unseen grams gets prior + n_feats·w_unseen."""
+    from code_index_spark.operators.textstats import seed_classifier
+
+    good = "science history prose essay analysis evidence source method"
+    bad = "click free buy offer now winner prize claim"
+    rows = (
+        [(i, good) for i in range(4)]
+        + [(i, bad) for i in range(4, 8)]
+        + [(8, ""), (9, "zzz qqq vvv")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = docs.filter(F.col("doc_id").isin(0, 1))   # seed ⊂ class
+    neg = docs.filter(F.col("doc_id").isin(4, 5))
+    out = {r["doc_id"]: r for r in
+           seed_classifier(docs, pos, neg, "doc_id", "text",
+                           n_buckets=512).collect()}
+    # held-out docs 2,3 / 6,7 classified by seeds they were not in
+    assert all(out[i]["pred_pos"] for i in range(4))
+    assert all(not out[i]["pred_pos"] for i in range(4, 8))
+    assert out[0]["logit_milli"] == out[1]["logit_milli"] \
+        == out[2]["logit_milli"]
+    prior = out[8]["logit_milli"]  # empty: no feats, prior only
+    assert out[8]["n_feats"] == 0
+    # all-unseen doc: 3 unigrams + 2 bigrams, each at w_unseen
+    assert out[9]["n_feats"] == 5
+    assert (out[9]["logit_milli"] - prior) % 5 == 0
+
+
+def test_shuffle_shards_deterministic_layout(spark):
+    """Shard shuffle (operators/prepare.py): positions are dense
+    0..n-1 per shard, interleave_key is unique, the layout is a pure
+    function of (salt, id) — identical across runs, different under a
+    new salt (epoch reshuffle)."""
+    from code_index_spark.operators.prepare import shuffle_shards
+
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text"))
+    a = shuffle_shards(docs, "doc_id", n_shards=8).collect()
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+        assert r["interleave_key"] == r["pos"] * 8 + r["shard"]
+    assert set(by_shard) <= set(range(8))
+    for shard_positions in by_shard.values():
+        assert sorted(shard_positions) == list(range(len(shard_positions)))
+    assert len({r["interleave_key"] for r in a}) == 200
+    b = shuffle_shards(docs, "doc_id", n_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+         shuffle_shards(docs, "doc_id", n_shards=8, salt="epoch2").collect()}
+    assert any(c[r["doc_id"]] != (r["shard"], r["pos"]) for r in a)
