@@ -17,23 +17,102 @@ Planted checks on the prepare_scale fixture:
     its logit is legitimately prior-dominated.
 
 Usage: python bench/classifier_scale.py [n_docs]
-Appends/replaces the '## Seed-classifier filtering at scale' section
-of BENCH.md and prints one JSON line.
+       python bench/classifier_scale.py [n_docs] --scaling [N]
+
+Appends/replaces the '## Seed-classifier filtering at scale' (or the
+scaling) section of BENCH.md and prints one JSON line. --scaling runs
+the identical job at N and 4N cores in fresh JVMs (the prepare_scale
+discipline: shuffle width data-sized and EQUAL across levels) for the
+north rule's two-parallelism evidence.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, sys.argv[4])
+from pyspark.sql import functions as F
+from code_index_spark.session import get_spark
+from code_index_spark.operators.textstats import seed_classifier
+from bench.prepare_scale import make_corpus
+
+cores = int(sys.argv[1]); n_docs = int(sys.argv[2]); trials = int(sys.argv[3])
+spark = get_spark(f"clf{cores}", cores=cores, shuffle_partitions=32)
+docs, _ = make_corpus(spark, n_docs)
+bucket = F.col("doc_id") % 10
+seed = F.col("doc_id") % 3 == 0
+pos = docs.filter(seed & ~bucket.isin(3, 4))
+neg = docs.filter(seed & (bucket == 4))
+run = lambda: seed_classifier(docs, pos, neg, "doc_id", "text") \
+    .agg(F.count("*"), F.sum(F.col("pred_pos").cast("long"))).collect()
+run()  # warm
+rates = []
+for _ in range(trials):
+    t0 = time.perf_counter()
+    run()
+    rates.append(n_docs / (time.perf_counter() - t0))
+rates.sort()
+print(json.dumps({"cores": cores,
+                  "median_rate": round(rates[len(rates) // 2]),
+                  "rates": [round(r) for r in rates]}))
+"""
+
+
+def _run_level(cores: int, n_docs: int, trials: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", _CHILD, str(cores), str(n_docs), str(trials),
+         ROOT],
+        capture_output=True, text=True, cwd=ROOT, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _scaling(n_docs: int, n_lo: int, trials: int = 3) -> None:
+    n_hi = n_lo * 4
+    lo = _run_level(n_lo, n_docs, trials)
+    hi = _run_level(n_hi, n_docs, trials)
+    eff = round(hi["median_rate"] / lo["median_rate"] / 4, 3)
+    out = {"metric": "classifier_scaling", "n_docs": n_docs,
+           "lo": lo, "hi": hi, "efficiency": eff}
+    print(json.dumps(out), flush=True)
+    section = (
+        "## Seed-classifier scaling (N vs 4N)\n\n"
+        f"({n_docs} docs, bench/classifier_scale.py --scaling: fresh "
+        f"JVM per level, warmed, median of {trials}, shuffle width "
+        "data-sized and equal across levels.) The stage mix is one "
+        "corpus feature scan + map-side-partial per-doc agg against a "
+        "broadcast K-row weight table — embarrassingly parallel except "
+        "the K-row weight build.\n\n"
+        "| parallelism | docs/sec (median) | all trials |\n|---|---|---|\n"
+        f"| local[{n_lo}] | {lo['median_rate']} | {lo['rates']} |\n"
+        f"| local[{n_hi}] | {hi['median_rate']} | {hi['rates']} |\n\n"
+        f"**Scaling efficiency {n_lo}→{n_hi}: {eff}** "
+        "(hypervisor-steal caveats as in the header section).\n"
+    )
+    from bench.scaling import _update_bench_md
+
+    _update_bench_md(ROOT, None, section)
+
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 6_000_000
+    pos_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_docs = int(pos_args[0]) if pos_args else 6_000_000
+    if "--scaling" in sys.argv:
+        idx = sys.argv.index("--scaling")
+        n_lo = (int(sys.argv[idx + 1])
+                if idx + 1 < len(sys.argv) and sys.argv[idx + 1].isdigit()
+                else 2)
+        _scaling(n_docs, n_lo)
+        return
 
     from pyspark.sql import functions as F
 

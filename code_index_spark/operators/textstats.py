@@ -371,6 +371,7 @@ def seed_classifier(
     text_col: str,
     n_buckets: int = 4096,
     broadcast_weights: bool = True,
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """fastText-style model-based quality filter (the FineWeb-Edu /
     DCLM 'classifier filtering' stage): train a linear classifier over
@@ -397,7 +398,8 @@ def seed_classifier(
     Output: (doc_id, n_feats, logit_milli, pred_pos) with
     pred_pos = logit_milli >= 0 (the keep decision at the NB decision
     boundary; shift the threshold downstream for precision/recall
-    trades).
+    trades). Both seed slices must contain at least one non-empty doc
+    (an empty class has no prior — ln(0) nulls every logit).
 
     Scale shape: features hash into `n_buckets` buckets, so the weight
     table is K rows regardless of seed size and broadcasts
@@ -432,6 +434,14 @@ def seed_classifier(
         F.count("*").alias("cp"))
     nc = buckets(neg_df, with_id=False).groupBy("b").agg(
         F.count("*").alias("cn"))
+    if truncate_lineage:
+        # each count table is ≤K rows but feeds TWO consumers (the
+        # weight table and its total); materializing it runs the seed
+        # feature-hash scan once instead of twice. Opt-out for callers
+        # that need executor-loss recompute semantics (the
+        # band_collision_pairs discipline, round-4 ADVICE).
+        pc = pc.localCheckpoint(eager=True)
+        nc = nc.localCheckpoint(eager=True)
     tp = pc.agg(F.sum("cp").cast("long").alias("tp"))
     tn = nc.agg(F.sum("cn").cast("long").alias("tn"))
     np_ = pos_df.filter(nonempty).agg(

@@ -138,3 +138,43 @@ def test_q17_correlated_subquery_decorrelates(spark):
     assert plan.count("Scan parquet") == 3  # lineitem x2 + part x1
     assert "BroadcastHashJoin" in plan
     assert "partial_avg" in plan or "avg(" in plan  # the one agg pass
+
+
+def test_seed_classifier_plan_broadcasts_weights(spark):
+    """The classifier's 100×-scale plan: the K-row NB weight table and
+    the 1-row constants broadcast (corpus side never shuffles for
+    them), the per-doc logit aggregation is partial before its
+    exchange, and no Python workers appear anywhere."""
+    from code_index_spark.operators.textstats import seed_classifier
+
+    tbl = load_tables(spark, "/root/testdata/sf0.001")
+    docs = tbl["documents"]
+    seed = F.col("doc_id") % 3 == 0
+    q = seed_classifier(
+        docs,
+        docs.filter(seed & (F.col("lang") == "en")),
+        docs.filter(seed & (F.col("lang") != "en")),
+        "doc_id", "text",
+    )
+    plan = _plan(q)
+    # weight-table join rides a broadcast, never a sort-merge
+    assert "BroadcastHashJoin" in plan
+    # per-doc logit agg combines map-side before its exchange
+    assert "partial_count" in plan or "partial" in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_shuffle_shards_single_exchange(spark):
+    """Shard shuffle owns exactly ONE data exchange (hash on `shard`);
+    the in-shard order comes from per-partition sorts under the
+    window, never a global range sort."""
+    from code_index_spark.operators.prepare import shuffle_shards
+
+    tbl = load_tables(spark, "/root/testdata/sf0.001")
+    q = shuffle_shards(tbl["documents"], "doc_id", n_shards=16)
+    plan = _plan(q)
+    main = plan.split("Subquery")[0]
+    assert main.count("Exchange") == 1
+    assert "hashpartitioning(shard" in main
+    assert "rangepartitioning" not in main
+    assert "MapInPandas" not in main and "BatchEvalPython" not in main

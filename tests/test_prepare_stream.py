@@ -1,0 +1,113 @@
+"""Streaming corpus-preparation twin (streaming/prepare_stream.py):
+labels must (a) match the batch prepare_corpus over the same
+accumulated corpus (on a near-dup-free corpus — the stream defers
+near-dup to compaction), (b) catch exact dups ACROSS micro-batches via
+the accumulated hash registry, (c) survive restart without relabeling,
+and (d) be replay-idempotent (foreachBatch is at-least-once)."""
+
+from pyspark.sql import functions as F
+
+from code_index_spark.operators.prepare import prepare_corpus
+from code_index_spark.streaming.prepare_stream import (
+    _apply_batch,
+    hash_state_view,
+    prepared_labels_view,
+    start_incremental_prepare,
+)
+
+_SCHEMA = "doc_id long, text string"
+_GOOD = "the quick brown fox and the lazy dog of the meadow in town"
+_PII = ("ping the code and test the data of the trade in main then"
+        " email me at user@example.org now")
+_ES = "el la de el la de uno dos tres cuatro cinco seis"
+
+
+def _label_rows(df):
+    return sorted(
+        (r["doc_id"], r["reason"], r["split"], r["has_pii"],
+         r["doc_chars"]) for r in df.collect()
+    )
+
+
+def test_incremental_prepare_matches_batch_and_survives_restart(
+    spark, tmp_path
+):
+    batch1 = [(0, _GOOD), (3, "x"), (5, "alpha beta gamma")]
+    batch2 = [(10, _GOOD),   # cross-batch exact dup of 0
+              (11, _ES),     # non_en
+              (12, _PII),    # keep, has_pii
+              (13, _PII)]    # within-batch exact dup of 12
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], _SCHEMA)
+
+    in_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    ck_dir = str(tmp_path / "ck")
+
+    def run():
+        start_incremental_prepare(
+            spark, in_dir, state_dir, ck_dir, ev, _SCHEMA,
+            decontam_gram_n=3,
+        ).awaitTermination(180)
+
+    spark.createDataFrame(batch1, _SCHEMA).coalesce(1).write.mode(
+        "overwrite").parquet(in_dir)
+    run()
+    first = {r["doc_id"]: r["reason"]
+             for r in prepared_labels_view(spark, state_dir).collect()}
+    assert first == {0: "keep", 3: "low_quality", 5: "contaminated"}
+
+    # restart with NO new input: checkpoint skips everything
+    run()
+    assert _label_rows(prepared_labels_view(spark, state_dir)) == \
+        _label_rows(prepared_labels_view(spark, state_dir))
+    assert {r["doc_id"]: r["reason"]
+            for r in prepared_labels_view(spark, state_dir).collect()} \
+        == first
+
+    # second snapshot arrives: cross-batch and within-batch dups caught
+    spark.createDataFrame(batch2, _SCHEMA).coalesce(1).write.mode(
+        "append").parquet(in_dir)
+    run()
+    labels = {r["doc_id"]: r["reason"]
+              for r in prepared_labels_view(spark, state_dir).collect()}
+    assert labels == {0: "keep", 3: "low_quality", 5: "contaminated",
+                      10: "exact_dup", 11: "non_en", 12: "keep",
+                      13: "exact_dup"}
+
+    # batch parity over the accumulated corpus (no near-dups in it,
+    # ids arrive in batch order → identical survivors and labels)
+    full = spark.createDataFrame(batch1 + batch2, _SCHEMA)
+    batch = prepare_corpus(full, ev, decontam_gram_n=3)
+    assert _label_rows(prepared_labels_view(spark, state_dir)) == \
+        _label_rows(batch)
+
+    # registry holds one row per unique text, min-id survivor
+    reg = {r["text_hash"]: r["keep_id"]
+           for r in hash_state_view(spark, state_dir).collect()}
+    assert len(reg) == 5 and sorted(reg.values()) == [0, 3, 5, 11, 12]
+
+
+def test_prepare_stream_replay_idempotent(spark, tmp_path):
+    """Re-applying the SAME batch_id (at-least-once replay after a
+    crash between the state writes and the checkpoint commit) rewrites
+    identical state instead of double-applying."""
+    state_dir = str(tmp_path / "state")
+    ev = spark.createDataFrame([(100, "alpha beta gamma delta")], _SCHEMA)
+    b0 = spark.createDataFrame([(0, _GOOD), (1, _GOOD)], _SCHEMA)
+    b1 = spark.createDataFrame([(2, _GOOD), (3, _PII)], _SCHEMA)
+
+    def apply(df, bid):
+        _apply_batch(spark, state_dir, df, bid, ev, "doc_id", "text",
+                     0.7, "en", 3, 1, None, "split-v1")
+
+    apply(b0, 0)
+    apply(b1, 1)
+    labels_once = _label_rows(prepared_labels_view(spark, state_dir))
+    reg_once = sorted(map(tuple, hash_state_view(spark, state_dir).collect()))
+    assert {r[0]: r[1] for r in labels_once}[2] == "exact_dup"
+
+    apply(b1, 1)  # replay
+    assert _label_rows(prepared_labels_view(spark, state_dir)) == labels_once
+    assert sorted(map(tuple,
+                      hash_state_view(spark, state_dir).collect())) == reg_once
