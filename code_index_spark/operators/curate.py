@@ -31,6 +31,26 @@ from .dedupe import exact_duplicates, minhash_verified_pairs
 from .textstats import lang_id, quality_features
 
 
+def near_reject_set(
+    docs: DataFrame,
+    near_dup_threshold: float = 0.8,
+    near_dup_max_bucket: int | None = None,
+) -> DataFrame:
+    """(doc_id, r_near=1) — the near-dup non-survivors of a (doc_id,
+    text) corpus: id_b of every minhash-verified pair (id_a < id_b, so
+    the min id survives). Single source of the near-dup survivor
+    policy, shared by reject_sets (the batch path) and
+    prepare.compact_prepared_labels (the streaming compaction)."""
+    return (
+        minhash_verified_pairs(docs, "doc_id", "text",
+                               threshold=near_dup_threshold,
+                               max_bucket=near_dup_max_bucket)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("r_near", F.lit(1))
+    )
+
+
 def reject_sets(
     docs: DataFrame,
     near_dup_threshold: float = 0.8,
@@ -50,12 +70,8 @@ def reject_sets(
         .select("doc_id")
         .withColumn("r_exact", F.lit(1))
     )
-    near_removed = (
-        minhash_verified_pairs(docs, "doc_id", "text", threshold=near_dup_threshold,
-                               max_bucket=near_dup_max_bucket)
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-        .withColumn("r_near", F.lit(1))
+    near_removed = near_reject_set(
+        docs, near_dup_threshold, near_dup_max_bucket
     )
     return exact_removed, near_removed
 

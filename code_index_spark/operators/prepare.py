@@ -136,6 +136,55 @@ def prepare_corpus(
     )
 
 
+def compact_prepared_labels(
+    docs: DataFrame,
+    stream_labels: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_dup_threshold: float = 0.8,
+    near_dup_max_bucket: int | None = None,
+) -> DataFrame:
+    """The nightly COMPACTION that closes the streaming twin's one
+    deferred stage (streaming/prepare_stream.py defers near-dup by
+    design: minhash banding against the accumulated corpus is not
+    proportional to a micro-batch sliver). Run the same
+    minhash-verified near-dup detection prepare_corpus runs — over the
+    FULL accumulated corpus — and upgrade the stream's labels:
+
+      exact_dup stays exact_dup (it outranks near_dup in the batch
+      reason priority); any other stream reason whose doc is in the
+      near reject set becomes near_dup; everything else is unchanged.
+
+    The result is row-identical to prepare_corpus over the same corpus
+    whenever the stream-parity precondition holds (ids arrive in batch
+    order, so the stream's first-seen-batch-then-min-id exact survivor
+    equals the batch global min-id survivor) — pinned by pytest.
+
+    Scale shape: the compaction pays one full-corpus near-dup pass —
+    the same cost the batch pipeline pays on EVERY run — once per
+    compaction window; per-batch streaming cost stays proportional to
+    the sliver plus a hash-registry join. The upgrade itself is one
+    labels×reject-set join (no broadcast hint — reject size is
+    dup-rate-dependent, the round-4 ADVICE discipline)."""
+    from .curate import near_reject_set
+
+    d = docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"))
+    near_removed = near_reject_set(
+        d, near_dup_threshold, near_dup_max_bucket
+    )
+    reason = (
+        F.when(F.col("reason") == "exact_dup", "exact_dup")
+        .when(F.col("r_near") == 1, "near_dup")
+        .otherwise(F.col("reason"))
+    )
+    return (
+        stream_labels.join(near_removed, "doc_id", "left")
+        .select("doc_id", reason.alias("reason"), "split", "has_pii",
+                "doc_chars")
+    )
+
+
 def summarize_labels(labels: DataFrame) -> DataFrame:
     """(reason, split, n_docs, n_chars, n_pii_docs) from an existing
     prepare_corpus labels table — the single definition of the run

@@ -240,3 +240,27 @@ def hash_state_view(spark: SparkSession, state_dir: str) -> DataFrame:
     return _read_snapshot(
         spark, os.path.join(state_dir, "hashes"), _HASHES_DDL
     )
+
+
+def compact_labels(
+    spark: SparkSession,
+    state_dir: str,
+    docs_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_dup_threshold: float = 0.8,
+    near_dup_max_bucket: int | None = None,
+) -> DataFrame:
+    """The nightly compaction the module docstring defers near-dup to:
+    run the batch near-dup stage over the accumulated corpus
+    (`docs_df` — everything ingested so far, e.g. the streamed input
+    dir read as a batch table) and upgrade the stream's labels. The
+    result is row-identical to prepare_corpus over the same corpus
+    under the stream-parity precondition (ids in batch order); see
+    operators/prepare.compact_prepared_labels for the rule."""
+    from ..operators.prepare import compact_prepared_labels
+
+    return compact_prepared_labels(
+        docs_df, prepared_labels_view(spark, state_dir),
+        id_col, text_col, near_dup_threshold, near_dup_max_bucket,
+    )

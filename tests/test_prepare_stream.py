@@ -88,6 +88,51 @@ def test_incremental_prepare_matches_batch_and_survives_restart(
     assert len(reg) == 5 and sorted(reg.values()) == [0, 3, 5, 11, 12]
 
 
+def test_compaction_closes_deferred_near_dup(spark, tmp_path):
+    """Stream batches containing a CROSS-BATCH near-dup (the case the
+    per-batch stream cannot see), then run the nightly compaction:
+    compacted labels must equal batch prepare_corpus over the full
+    accumulated corpus — including the near_dup row — and all other
+    labels must be unchanged."""
+    from code_index_spark.streaming.prepare_stream import compact_labels
+
+    near = _GOOD + " tonight"  # word-3-gram jaccard 11/12 vs _GOOD
+    batch1 = [(0, _GOOD), (3, "x")]
+    batch2 = [(20, near),        # cross-batch near-dup of 0
+              (21, _ES),         # non_en
+              (22, _GOOD)]       # cross-batch exact dup of 0
+    ev = spark.createDataFrame([(100, "alpha beta gamma delta")], _SCHEMA)
+
+    in_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    ck_dir = str(tmp_path / "ck")
+
+    def run():
+        start_incremental_prepare(
+            spark, in_dir, state_dir, ck_dir, ev, _SCHEMA,
+            decontam_gram_n=3,
+        ).awaitTermination(180)
+
+    spark.createDataFrame(batch1, _SCHEMA).coalesce(1).write.mode(
+        "overwrite").parquet(in_dir)
+    run()
+    spark.createDataFrame(batch2, _SCHEMA).coalesce(1).write.mode(
+        "append").parquet(in_dir)
+    run()
+
+    # the stream alone labels the near-dup 'keep' (deferred by design)
+    streamed = {r["doc_id"]: r["reason"]
+                for r in prepared_labels_view(spark, state_dir).collect()}
+    assert streamed[20] == "keep" and streamed[22] == "exact_dup"
+
+    full = spark.createDataFrame(batch1 + batch2, _SCHEMA)
+    compacted = compact_labels(spark, state_dir, full)
+    assert {r["doc_id"]: r["reason"]
+            for r in compacted.collect()}[20] == "near_dup"
+    batch = prepare_corpus(full, ev, decontam_gram_n=3)
+    assert _label_rows(compacted) == _label_rows(batch)
+
+
 def test_prepare_stream_replay_idempotent(spark, tmp_path):
     """Re-applying the SAME batch_id (at-least-once replay after a
     crash between the state writes and the checkpoint commit) rewrites
