@@ -1,0 +1,82 @@
+"""Bucketed-table store (sources/bucketed.py): the persisted
+co-located-join layout. The plan test is the point — a join of two
+tables bucketed on the join key must contain ZERO Exchange nodes —
+plus result parity with the plain shuffled join and the
+superset-clustering property (groupBy on the bucket key is also
+exchange-free)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from code_index_spark.sources.bucketed import read_bucketed, write_bucketed
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force shuffle-join planning so the plan test proves bucketing
+    (not broadcast) removed the exchanges."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+@pytest.fixture()
+def two_tables(spark, tmp_path):
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("source"),
+    )
+    labels = spark.range(0, 500, 2).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "keep").otherwise("drop").alias("reason"),
+    )
+    write_bucketed(docs, "b_docs", "doc_id", 8,
+                   path=str(tmp_path / "docs"))
+    write_bucketed(labels, "b_labels", "doc_id", 8,
+                   path=str(tmp_path / "labels"))
+    yield docs, labels
+    spark.sql("DROP TABLE IF EXISTS b_docs")
+    spark.sql("DROP TABLE IF EXISTS b_labels")
+
+
+def test_bucketed_join_has_zero_exchanges(spark, two_tables, no_broadcast):
+    docs, labels = two_tables
+    j = read_bucketed(spark, "b_docs").join(
+        read_bucketed(spark, "b_labels"), "doc_id")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan           # the co-location claim
+    assert "SortMergeJoin" in plan
+    # parity with the plain shuffled join
+    want = sorted(map(tuple, docs.join(labels, "doc_id").collect()))
+    assert sorted(map(tuple, j.collect())) == want
+
+
+def test_bucketed_groupby_has_zero_exchanges(spark, two_tables):
+    """Bucketing satisfies any clustering on a SUPERSET of the bucket
+    key — aggregation on the key needs no exchange either."""
+    agg = read_bucketed(spark, "b_docs").groupBy("doc_id").agg(
+        F.count("*").alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert agg.count() == 500
+
+
+def test_unbucketed_join_pays_the_exchanges(spark, two_tables, no_broadcast):
+    """Control: the same join off raw parquet-path reads (which forget
+    the bucket spec) shuffles both sides — the cost bucketing removes."""
+    a = spark.table("b_docs").inputFiles()[0].rsplit("/", 1)[0]
+    b = spark.table("b_labels").inputFiles()[0].rsplit("/", 1)[0]
+    j = spark.read.parquet(a).join(spark.read.parquet(b), "doc_id")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") >= 2
+
+
+def test_write_is_one_file_per_bucket(spark, two_tables):
+    """The repartition-before-write discipline: W writer tasks × n
+    buckets small-file explosion is prevented — exactly n_buckets
+    files (so sorted buckets feed sort-merge joins without re-sorts)."""
+    files = [f for f in spark.table("b_docs").inputFiles()]
+    assert len(files) == 8
