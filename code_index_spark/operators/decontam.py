@@ -51,9 +51,23 @@ def _distinct_doc_grams(df: DataFrame, id_col: str | None, text_col: str,
     )
 
 
+def eval_gram_set(eval_df: DataFrame, text_col: str,
+                  gram_n: int = 8) -> DataFrame:
+    """The distinct eval gram-hash table decontaminate() builds from
+    `eval_df` — exposed so a REPEATED consumer can build it once,
+    localCheckpoint it, and pass it back via `eval_grams`. The
+    streaming preparation path needs this: without it every
+    micro-batch re-explodes the full eval suite to rebuild the
+    broadcast side, a per-batch cost proportional to the EVAL SUITE
+    instead of the batch sliver (measured as the dominant per-batch
+    constant in bench/prepare_stream_scale.py)."""
+    return _distinct_doc_grams(eval_df, None, text_col, gram_n)
+
+
 def decontaminate(train_df: DataFrame, eval_df: DataFrame, id_col: str,
                   text_col: str, gram_n: int = 8,
-                  broadcast_eval: bool = True) -> DataFrame:
+                  broadcast_eval: bool = True,
+                  eval_grams: DataFrame | None = None) -> DataFrame:
     """(doc_id, n_shared_grams) for every training doc sharing at
     least one word `gram_n`-gram with the eval set; n_shared_grams
     counts the doc's DISTINCT overlapping grams. Docs absent from the
@@ -61,8 +75,13 @@ def decontaminate(train_df: DataFrame, eval_df: DataFrame, id_col: str,
 
     gram_n=8 is the conventional decontamination window (GPT-3 used
     13, Dolma 8); small corpora with small vocabularies want smaller
-    windows to be meaningful."""
-    ev = _distinct_doc_grams(eval_df, None, text_col, gram_n)
+    windows to be meaningful.
+
+    eval_grams: a precomputed eval_gram_set(...) table (gram_n must
+    match); when given, eval_df is not touched — the repeated-call
+    path."""
+    ev = (eval_grams if eval_grams is not None
+          else _distinct_doc_grams(eval_df, None, text_col, gram_n))
     if broadcast_eval:
         ev = F.broadcast(ev)
     tr = _distinct_doc_grams(train_df, id_col, text_col, gram_n)

@@ -50,7 +50,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.decontam import decontaminate
+from ..operators.decontam import decontaminate, eval_gram_set
 from ..operators.pii import pii_features
 from ..operators.split import hash_split
 from ..operators.textstats import lang_id, quality_features
@@ -105,6 +105,7 @@ def _apply_batch(
     decontam_min_matches: int,
     fractions: dict[str, float] | None,
     split_salt: str,
+    eval_grams: DataFrame | None = None,
 ) -> None:
     hash_root = os.path.join(state_dir, "hashes")
     label_root = os.path.join(state_dir, "labels")
@@ -133,7 +134,8 @@ def _apply_batch(
 
     contam = (
         decontaminate(docs, eval_df.select(F.col(text_col).alias("text")),
-                      "doc_id", "text", gram_n=decontam_gram_n)
+                      "doc_id", "text", gram_n=decontam_gram_n,
+                      eval_grams=eval_grams)
         .filter(F.col("n_shared_grams") >= decontam_min_matches)
         .select("doc_id")
         .withColumn("r_contam", F.lit(1))
@@ -171,6 +173,12 @@ def _apply_batch(
         os.path.join(label_root, f"v={batch_id}"))
     merged.write.mode("overwrite").parquet(
         os.path.join(hash_root, f"v={batch_id}"))
+    # the checkpoint blocks served only the two writes above — later
+    # batches read the parquet snapshot, not this DataFrame. Without
+    # this release a long-running stream pins EVERY batch's registry
+    # snapshot in executor storage (measured: the accumulation starved
+    # broadcast build memory by batch 10 of a 2M-doc run)
+    merged.unpersist()
     # prune hash snapshots older than this batch's merge base: only the
     # last uncommitted batch can replay, and its base is the newest
     # v < id (labels dirs are per-batch output, never merged — kept)
@@ -206,12 +214,22 @@ def start_incremental_prepare(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
+    # the eval gram set is per-STREAM state, not per-batch work: build
+    # it once, eagerly, and reuse across every micro-batch — otherwise
+    # each batch re-explodes the full eval suite to rebuild the
+    # decontamination broadcast (a per-batch cost proportional to the
+    # eval suite, measured dominant in bench/prepare_stream_scale.py)
+    ev_grams = eval_gram_set(
+        eval_df.select(F.col(text_col).alias(text_col)),
+        text_col, decontam_gram_n,
+    ).localCheckpoint(eager=True)
 
     def process_batch(batch_df, batch_id: int) -> None:
         _apply_batch(
             spark, state_dir, batch_df, batch_id, eval_df, id_col,
             text_col, min_quality, keep_lang, decontam_gram_n,
             decontam_min_matches, fractions, split_salt,
+            eval_grams=ev_grams,
         )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
