@@ -218,7 +218,12 @@ def start_incremental_prepare(
     # it once, eagerly, and reuse across every micro-batch — otherwise
     # each batch re-explodes the full eval suite to rebuild the
     # decontamination broadcast (a per-batch cost proportional to the
-    # eval suite, measured dominant in bench/prepare_stream_scale.py)
+    # eval suite, measured dominant in bench/prepare_stream_scale.py).
+    # localCheckpoint caveat (the functions/minhash.py discipline): on
+    # a real cluster an executor loss makes the NEXT batch fail rather
+    # than recompute — acceptable here because the stream restarts
+    # from its checkpoint and rebuilds this table on startup; use
+    # reliable checkpointing if restarts are expensive.
     ev_grams = eval_gram_set(
         eval_df.select(F.col(text_col).alias(text_col)),
         text_col, decontam_gram_n,

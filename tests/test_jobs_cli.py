@@ -124,3 +124,45 @@ def test_prepare_job_cli(spark, tmp_path, capsys):
     labels = {r["doc_id"]: r["reason"]
               for r in spark.read.parquet(lab).collect()}
     assert labels[5] == "contaminated" and labels[1] == "exact_dup"
+
+
+def test_prepare_stream_job_cli(spark, tmp_path, capsys):
+    """jobs/prepare_stream_job.py: first invocation drains batch 1 and
+    reports stream labels (no near_dup — deferred); a later invocation
+    drains only the NEW file and, with --compact, writes the upgraded
+    labels table equal to batch prepare_corpus over everything."""
+    from code_index_spark.operators.prepare import prepare_corpus
+    from jobs import prepare_stream_job
+
+    good = "the quick brown fox and the lazy dog of the meadow in town"
+    b1 = [(0, good), (3, "x")]
+    b2 = [(20, good + " tonight"),   # cross-batch near-dup of 0
+          (22, good)]                # cross-batch exact dup of 0
+    ev = spark.createDataFrame([(100, "alpha beta gamma delta")],
+                               "doc_id long, text string")
+    in_dir, ev_dir = str(tmp_path / "in"), str(tmp_path / "ev")
+    state, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+    comp = str(tmp_path / "compacted")
+    ev.write.parquet(ev_dir)
+    base = ["--input", in_dir, "--eval", ev_dir, "--state", state,
+            "--checkpoint", ck, "--gram-n", "3"]
+
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(
+        1).write.mode("overwrite").parquet(in_dir)
+    prepare_stream_job.main(base)
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["labels"] == "stream" and res["n_docs"] == 2
+    assert "near_dup" not in res["reasons"]
+
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(
+        1).write.mode("append").parquet(in_dir)
+    prepare_stream_job.main(base + ["--compact", comp])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["labels"] == "compacted" and res["n_docs"] == 4
+    assert res["reasons"].get("near_dup") == 1
+
+    full = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    want = sorted(map(tuple, prepare_corpus(full, ev,
+                                            decontam_gram_n=3).collect()))
+    got = sorted(map(tuple, spark.read.parquet(comp).collect()))
+    assert got == want
