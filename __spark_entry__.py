@@ -1347,6 +1347,27 @@ def _q_corpus_prepare_summary(spark, sf_dir):
     return prepare_summary(tr, ev, decontam_gram_n=3)
 
 
+def _q_prepare_compacted_labels(spark, sf_dir):
+    """The stream+compaction contract, driver-oracled: label the corpus
+    through the REAL streaming code path (streaming/prepare_stream.
+    batch_labels — per-row signals + exact-dup against an empty
+    registry, near-dup deferred), then run the nightly compaction
+    (operators/prepare.compact_prepared_labels). The oracle is the
+    SAME DuckDB re-derivation as corpus_prepare_labels, so the hash
+    match is the cross-engine proof that incremental labeling plus
+    compaction reproduces the batch pipeline exactly (the pytest twin
+    additionally pins it across real micro-batches and replays)."""
+    from code_index_spark.operators.prepare import compact_prepared_labels
+    from code_index_spark.streaming.prepare_stream import batch_labels
+
+    tr, ev = _prepare_inputs(spark, sf_dir)
+    empty_registry = spark.createDataFrame(
+        [], "text_hash string, keep_id bigint")
+    stream_labels, _ = batch_labels(tr, empty_registry, ev,
+                                    decontam_gram_n=3)
+    return compact_prepared_labels(tr, stream_labels).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # queries — non-SQL-expressible pipeline stages (rows-only checks)
 # ---------------------------------------------------------------------------
@@ -1636,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_labels": _q_curation_labels,
         "corpus_prepare_labels": _q_corpus_prepare_labels,
         "corpus_prepare_summary": _q_corpus_prepare_summary,
+        "prepare_compacted_labels": _q_prepare_compacted_labels,
         "dataset_split": _q_dataset_split,
         "lang_id_docs": _q_lang_id_docs,
         "doc_quality": _q_doc_quality,
@@ -1671,10 +1693,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_search": _q_entity_search,
         "entity_search_indexed": _q_entity_search_indexed,
         "search_rank": _q_search_rank,
-        "entity_mentions_top": _q_entity_mentions_top,
         # --- driver 50-query sample window ends here (position 50);
         # everything below is driver-green from earlier rounds or
         # rows-only, and the `-m slow` sweep re-checks all of it ---
+        "entity_mentions_top": _q_entity_mentions_top,
         "graph_vertices_named": _q_graph_vertices_named,
         "graph_entities_named": _q_graph_entities_named,
         "edge_rollup_named": _q_edge_rollup_named,
@@ -3351,6 +3373,9 @@ def oracle_sql() -> dict[str, str]:
         "curation_labels": _curation_oracle(per_doc=True),
         "corpus_prepare_labels": _prepare_oracle(per_doc=True),
         "corpus_prepare_summary": _prepare_oracle(per_doc=False),
+        # the compaction query MUST produce byte-identical labels to
+        # the batch pipeline — same oracle text is the proof
+        "prepare_compacted_labels": _prepare_oracle(per_doc=True),
         "dataset_split": _dataset_split_oracle(),
         "lang_id_docs": _LANG_ORACLE,
         "doc_quality": _QUALITY_ORACLE,

@@ -91,37 +91,40 @@ def _read_snapshot(
     return spark.createDataFrame([], ddl)
 
 
-def _apply_batch(
-    spark: SparkSession,
-    state_dir: str,
+def batch_labels(
     batch_df: DataFrame,
-    batch_id: int,
+    old_registry: DataFrame,
     eval_df: DataFrame,
-    id_col: str,
-    text_col: str,
-    min_quality: float,
-    keep_lang: str,
-    decontam_gram_n: int,
-    decontam_min_matches: int,
-    fractions: dict[str, float] | None,
-    split_salt: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.7,
+    keep_lang: str = "en",
+    decontam_gram_n: int = 8,
+    decontam_min_matches: int = 1,
+    fractions: dict[str, float] | None = None,
+    split_salt: str = "split-v1",
     eval_grams: DataFrame | None = None,
-) -> None:
-    hash_root = os.path.join(state_dir, "hashes")
-    label_root = os.path.join(state_dir, "labels")
+) -> tuple[DataFrame, DataFrame]:
+    """The stream's per-batch labeling as a PURE function:
+    (labels, batch_winners) for one micro-batch against the
+    accumulated (text_hash, keep_id) registry `old_registry` (empty
+    DataFrame for the first batch — or for labeling a whole corpus as
+    one batch, which is how the driver row `prepare_compacted_labels`
+    proves the stream+compaction contract against the batch oracle).
+    Reasons here never say 'near_dup' — that stage is compaction's
+    (operators/prepare.compact_prepared_labels)."""
     docs = batch_df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).withColumn("text_hash", F.md5("text"))
 
-    old = _read_snapshot(spark, hash_root, _HASHES_DDL, below=batch_id)
     winners = docs.groupBy("text_hash").agg(
         F.min("doc_id").alias("batch_keep"))
     # a hash seen in ANY earlier batch makes every copy here a dup;
     # otherwise the within-batch min id survives
     flagged = (
         docs
-        .join(old.select("text_hash",
-                         F.col("keep_id").alias("old_keep")),
+        .join(old_registry.select("text_hash",
+                                  F.col("keep_id").alias("old_keep")),
               "text_hash", "left")
         .join(winners, "text_hash")
         .withColumn(
@@ -159,6 +162,33 @@ def _apply_batch(
         perrow.join(contam, "doc_id", "left")
         .select("doc_id", reason.alias("reason"), "split", "has_pii",
                 "doc_chars")
+    )
+    return labels, winners
+
+
+def _apply_batch(
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_quality: float,
+    keep_lang: str,
+    decontam_gram_n: int,
+    decontam_min_matches: int,
+    fractions: dict[str, float] | None,
+    split_salt: str,
+    eval_grams: DataFrame | None = None,
+) -> None:
+    hash_root = os.path.join(state_dir, "hashes")
+    label_root = os.path.join(state_dir, "labels")
+    old = _read_snapshot(spark, hash_root, _HASHES_DDL, below=batch_id)
+    labels, winners = batch_labels(
+        batch_df, old, eval_df, id_col, text_col, min_quality,
+        keep_lang, decontam_gram_n, decontam_min_matches, fractions,
+        split_salt, eval_grams,
     )
     # materialize the new-hash merge BEFORE any state write (it reads
     # `old`, which pruning removes below)
