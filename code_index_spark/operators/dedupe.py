@@ -369,7 +369,15 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     hashing) would serialize on one core — repartition the cheap
     (id, text) projection first so the O(words²) gram build and the md5
     signatures run at session width. Inputs already wider than the core
-    count (any real corpus) skip the shuffle."""
+    count (any real corpus) skip the shuffle.
+
+    NULL/whitespace-only texts gram to the single '' shingle, so they
+    mutually pair at jaccard 1.0 — intentional (they ARE near-identical,
+    and the DuckDB oracles derive the same grams), but a crawl corpus
+    with MANY empty docs puts them all in one band bucket (the
+    constant-gram clique hazard, CLAUDE.md): the max_bucket stop-bucket
+    cap is the lever, and the quality stage rejects such docs upstream
+    in the composed pipelines."""
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     sc = df.sparkSession.sparkContext
     width = sc.defaultParallelism

@@ -74,3 +74,40 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Catalog read that preserves the bucket spec (see write_bucketed
     note: path reads lose it)."""
     return spark.table(table)
+
+
+def register_bucketed(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    key: str,
+    n_buckets: int,
+    sort: bool = True,
+) -> DataFrame:
+    """Re-attach the bucket spec to an existing write_bucketed file set
+    in a NEW session. saveAsTable records the spec in the session
+    catalog, and this repo runs the default in-memory catalog (no Hive
+    metastore), so a fresh SparkSession — tomorrow's spark-submit job —
+    doesn't know the table: without re-registration it would fall back
+    to a plain path read and pay the exchanges bucketing exists to
+    remove. On a deployment with a persistent metastore this is
+    unnecessary; here it is one DDL derived from the parquet footer:
+
+        CREATE TABLE t (<schema>) USING parquet
+        CLUSTERED BY (key) [SORTED BY (key)] INTO n BUCKETS
+        LOCATION 'path'
+
+    The caller owns spec consistency: key/n_buckets/sort must match
+    what write_bucketed used — a mismatched declaration makes Spark
+    group by the wrong bucketing and silently return wrong joins."""
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in spark.read.parquet(path).schema.fields
+    )
+    sorted_by = f"SORTED BY (`{key}`) " if sort else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS `{table}` ({cols}) USING parquet "
+        f"CLUSTERED BY (`{key}`) {sorted_by}INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+    return spark.table(table)

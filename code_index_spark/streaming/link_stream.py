@@ -48,13 +48,13 @@ vector_store.py:337-376, re-expressed as streaming state)."""
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.extract import extract_triples_sql
 from ..operators.link import mention_surfaces, tfidf_cosine
 from ..schema import TRANSCRIPTS
+from .state import guard_batch_id, prune_below_base, read_latest_snapshot
 
 _SURFACES_DDL = (
     "surface string, mention_count bigint, norm string, grams array<string>"
@@ -70,45 +70,18 @@ def _read_state(spark: SparkSession, path: str, ddl: str) -> DataFrame:
     return spark.createDataFrame([], ddl)
 
 
-def _surface_versions(surf_root: str) -> list[int]:
-    """Applied-batch snapshot versions under surfaces/, ascending."""
-    if not os.path.isdir(surf_root):
-        return []
-    out = []
-    for name in os.listdir(surf_root):
-        if name.startswith("v="):
-            try:
-                out.append(int(name[2:]))
-            except ValueError:
-                continue
-    return sorted(out)
-
-
 def _read_surfaces(
     spark: SparkSession, surf_root: str, below: int | None = None
 ) -> DataFrame:
     """Latest surfaces snapshot — optionally the latest with version
     strictly below `below` (the replay-safe base for applying batch
-    `below`)."""
-    versions = _surface_versions(surf_root)
-    if below is not None:
-        versions = [v for v in versions if v < below]
-    if versions:
-        return _read_state(
-            spark, os.path.join(surf_root, f"v={versions[-1]}"), _SURFACES_DDL
-        )
-    # pre-versioning FLAT layout (parquet files directly under
-    # surfaces/, written before the batch-id-versioned snapshots): use
-    # it as the base snapshot instead of silently resetting accumulated
-    # mention counts to empty. It is also the correct replay base for
-    # the first versioned batch (the only caller that filters every
-    # version out with `below`); once that batch commits, the write
-    # path deletes the flat files.
-    if os.path.isdir(surf_root) and any(
-        n.endswith(".parquet") for n in os.listdir(surf_root)
-    ):
-        return _read_state(spark, surf_root, _SURFACES_DDL)
-    return spark.createDataFrame([], _SURFACES_DDL)
+    `below`). Shared machinery: streaming/state.py; flat_fallback
+    covers the pre-versioning layout (parquet files directly under
+    surfaces/) as the base for the first versioned batch — the write
+    path deletes the flat files once a versioned base exists."""
+    return read_latest_snapshot(
+        spark, surf_root, _SURFACES_DDL, below=below, flat_fallback=True
+    )
 
 
 def _new_pairs(
@@ -165,6 +138,7 @@ def _apply_batch(
     rows, which the read path dedupes."""
     surf_root = os.path.join(state_dir, "surfaces")
     pairs_path = os.path.join(state_dir, "pairs")
+    guard_batch_id(surf_root, batch_id)
     batch_surf = mention_surfaces(extract_triples_sql(batch_df))
     old = _read_surfaces(spark, surf_root, below=batch_id)
     # merge counts; carry norm/grams from whichever side has them
@@ -201,19 +175,10 @@ def _apply_batch(
     merged.write.mode("overwrite").parquet(
         os.path.join(surf_root, f"v={batch_id}")
     )
-    # prune snapshots older than this batch's merge base: only the last
-    # uncommitted batch can replay, and its base is the newest v < id
-    base = [v for v in _surface_versions(surf_root) if v < batch_id]
-    for v in base[:-1]:
-        shutil.rmtree(os.path.join(surf_root, f"v={v}"), ignore_errors=True)
-    if base:
-        # a versioned base exists, so any pre-versioning flat-layout
-        # files (the migration base read by _read_surfaces) are
-        # superseded — drop them
-        for name in os.listdir(surf_root):
-            p = os.path.join(surf_root, name)
-            if os.path.isfile(p):
-                os.remove(p)
+    # prune snapshots older than this batch's merge base (only the last
+    # uncommitted batch can replay) and any superseded pre-versioning
+    # flat-layout files — shared machinery: streaming/state.py
+    prune_below_base(surf_root, batch_id, drop_flat=True)
 
 
 def start_incremental_linking(

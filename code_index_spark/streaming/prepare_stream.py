@@ -17,23 +17,33 @@ Per micro-batch:
   global min-id whenever ids arrive in batch order, which the parity
   test pins);
 - near-dup detection is DEFERRED to the nightly batch compaction
-  (operators/curate.reject_sets): minhash banding against the full
-  accumulated corpus is not proportional to the new sliver, and the
-  dedupe_stream watermark argument applies — a residual near-dup
-  admitted by the stream is caught in compaction. The stream's labels
-  therefore never say 'near_dup'; the reason priority is otherwise the
-  batch operator's (exact_dup > contaminated > low_quality > non_en >
-  keep).
+  (compact_labels below / operators/prepare.compact_prepared_labels):
+  minhash banding against the full accumulated corpus is not
+  proportional to the new sliver, and the dedupe_stream watermark
+  argument applies — a residual near-dup admitted by the stream is
+  caught in compaction. The stream's labels therefore never say
+  'near_dup'; the reason priority is otherwise the batch operator's
+  (exact_dup > contaminated > low_quality > non_en > keep).
 
-State layout under `state_dir/` (the link_stream replay discipline —
-foreachBatch is at-least-once, so every write is keyed by batch_id and
-derived from the latest snapshot with version < batch_id; a replayed
-batch recomputes byte-identical output instead of double-applying):
-- `hashes/v=<batch_id>/`  — (text_hash, keep_id), the accumulated
-  exact-dup registry; snapshots older than the current merge base are
-  pruned after the write;
-- `labels/v=<batch_id>/`  — this batch's (doc_id, reason, split,
+State layout under `state_dir/` (the shared replay discipline in
+streaming/state.py — foreachBatch is at-least-once, so every write is
+keyed by batch_id; a replayed batch recomputes byte-identical output
+instead of double-applying; a batch-id REGRESSION — wiped checkpoint
+over a kept state dir — raises instead of corrupting):
+- `hashes/v=<batch_id>/` — this batch's NEW (text_hash, keep_id)
+  rows, i.e. the registry is kept as per-batch DELTAS and read as
+  their union: per-batch write cost is proportional to the sliver,
+  never to the accumulated registry (a full-snapshot rewrite per
+  batch would grow linearly with corpus uniques — the anti-scale
+  shape). `fold_registry` compacts old deltas once the dir count
+  grows (run it from the post-drain compaction job).
+- `labels/v=<batch_id>/` — this batch's (doc_id, reason, split,
   has_pii, doc_chars); overwritten in place on replay.
+Read caveat: the state dirs are written BEFORE the streaming
+checkpoint commits the batch, so a reader that races a crashing
+stream can see one uncommitted (or mid-write) version; the intended
+read pattern is drain-then-read (trigger availableNow, awaitTermination,
+then the views — what jobs/prepare_stream_job.py does).
 
 At 100 TB: the hash registry is (32-char hash + long) per UNIQUE doc —
 orders of magnitude smaller than the corpus — and the per-batch work
@@ -46,7 +56,6 @@ upgraded from skip-unchanged to corpus-wide content dedup.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -54,41 +63,13 @@ from ..operators.decontam import decontaminate, eval_gram_set
 from ..operators.pii import pii_features
 from ..operators.split import hash_split
 from ..operators.textstats import lang_id, quality_features
+from .state import fold_deltas, guard_batch_id, read_deltas, snapshot_versions
 
 _HASHES_DDL = "text_hash string, keep_id bigint"
 _LABELS_DDL = (
     "doc_id bigint, reason string, split string, has_pii boolean,"
     " doc_chars int"
 )
-
-
-def _versions(root: str) -> list[int]:
-    """Applied-batch snapshot versions under a state root, ascending."""
-    if not os.path.isdir(root):
-        return []
-    out = []
-    for name in os.listdir(root):
-        if name.startswith("v="):
-            try:
-                out.append(int(name[2:]))
-            except ValueError:
-                continue
-    return sorted(out)
-
-
-def _read_snapshot(
-    spark: SparkSession, root: str, ddl: str, below: int | None = None
-) -> DataFrame:
-    """Latest snapshot — optionally the latest strictly below `below`
-    (the replay-safe merge base for applying batch `below`)."""
-    versions = _versions(root)
-    if below is not None:
-        versions = [v for v in versions if v < below]
-    if versions:
-        return spark.read.schema(ddl).parquet(
-            os.path.join(root, f"v={versions[-1]}")
-        )
-    return spark.createDataFrame([], ddl)
 
 
 def batch_labels(
@@ -112,7 +93,13 @@ def batch_labels(
     one batch, which is how the driver row `prepare_compacted_labels`
     proves the stream+compaction contract against the batch oracle).
     Reasons here never say 'near_dup' — that stage is compaction's
-    (operators/prepare.compact_prepared_labels)."""
+    (operators/prepare.compact_prepared_labels).
+
+    NULL-text docs: md5(NULL) is NULL, which equi-joins with nothing,
+    so they are never duplicates of anything (matching the batch
+    operator, whose reject-set joins are equally null-rejecting) but
+    MUST still get a label row — hence the left join on winners and
+    the coalesce to r_exact=0."""
     docs = batch_df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).withColumn("text_hash", F.md5("text"))
@@ -126,11 +113,14 @@ def batch_labels(
         .join(old_registry.select("text_hash",
                                   F.col("keep_id").alias("old_keep")),
               "text_hash", "left")
-        .join(winners, "text_hash")
+        .join(winners, "text_hash", "left")
         .withColumn(
             "r_exact",
-            (F.col("old_keep").isNotNull()
-             | (F.col("doc_id") != F.col("batch_keep"))).cast("int"),
+            F.coalesce(
+                (F.col("old_keep").isNotNull()
+                 | (F.col("doc_id") != F.col("batch_keep"))).cast("int"),
+                F.lit(0),
+            ),
         )
         .drop("old_keep", "batch_keep")
     )
@@ -184,38 +174,70 @@ def _apply_batch(
 ) -> None:
     hash_root = os.path.join(state_dir, "hashes")
     label_root = os.path.join(state_dir, "labels")
-    old = _read_snapshot(spark, hash_root, _HASHES_DDL, below=batch_id)
+    guard_batch_id(hash_root, batch_id)
+    old = read_deltas(spark, hash_root, _HASHES_DDL, below=batch_id)
     labels, winners = batch_labels(
         batch_df, old, eval_df, id_col, text_col, min_quality,
         keep_lang, decontam_gram_n, decontam_min_matches, fractions,
         split_salt, eval_grams,
     )
-    # materialize the new-hash merge BEFORE any state write (it reads
-    # `old`, which pruning removes below)
-    merged = (
-        old.unionByName(
-            winners.join(old.select("text_hash"), "text_hash", "left_anti")
-            .select("text_hash", F.col("batch_keep").alias("keep_id"))
-        )
-        .localCheckpoint(eager=True)
+    # the registry DELTA: hashes first seen in this batch (NULL text
+    # hashes join nothing and are never registry rows). Writing only
+    # the delta keeps per-batch write cost sliver-proportional; the
+    # accumulated registry is the read-time union of the deltas.
+    new_hashes = (
+        winners.filter(F.col("text_hash").isNotNull())
+        .join(old.select("text_hash"), "text_hash", "left_anti")
+        .select("text_hash", F.col("batch_keep").alias("keep_id"))
     )
     labels.write.mode("overwrite").parquet(
         os.path.join(label_root, f"v={batch_id}"))
-    merged.write.mode("overwrite").parquet(
+    new_hashes.write.mode("overwrite").parquet(
         os.path.join(hash_root, f"v={batch_id}"))
-    # the checkpoint blocks served only the two writes above — later
-    # batches read the parquet snapshot, not this DataFrame. Without
-    # this release a long-running stream pins EVERY batch's registry
-    # snapshot in executor storage (measured: the accumulation starved
-    # broadcast build memory by batch 10 of a 2M-doc run)
-    merged.unpersist()
-    # prune hash snapshots older than this batch's merge base: only the
-    # last uncommitted batch can replay, and its base is the newest
-    # v < id (labels dirs are per-batch output, never merged — kept)
-    base = [v for v in _versions(hash_root) if v < batch_id]
-    for v in base[:-1]:
-        shutil.rmtree(os.path.join(hash_root, f"v={v}"),
-                      ignore_errors=True)
+
+
+class _ReleaseOnTermination:
+    """StreamingQueryListener releasing the per-stream eval-gram
+    checkpoint when its query terminates (without this, a long-lived
+    session starting one stream per ingest window pins one
+    eval-suite-sized block set per invocation — the same storage
+    starvation the registry unpersist fixes per batch)."""
+
+    def __init__(self, spark: SparkSession, query_id, df: DataFrame):
+        self._spark, self._qid, self._df = spark, str(query_id), df
+
+    def release(self) -> None:
+        try:
+            self._df.unpersist()
+        except Exception:
+            pass
+        try:
+            self._spark.streams.removeListener(self._listener)
+        except Exception:
+            pass
+
+    def attach(self):
+        from pyspark.sql.streaming.listener import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                pass
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                if str(event.id) == outer._qid:
+                    outer.release()
+
+        self._listener = _L()
+        self._spark.streams.addListener(self._listener)
+        return self
 
 
 def start_incremental_prepare(
@@ -238,7 +260,9 @@ def start_incremental_prepare(
 ):
     """Stream document parquet appends → incrementally maintained
     (labels, hash registry) preparation state. Returns the
-    StreamingQuery; read the result with `prepared_labels_view`."""
+    StreamingQuery; read the result with `prepared_labels_view`
+    AFTER the query terminates (drain-then-read — see the module
+    docstring's uncommitted-read caveat)."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -251,9 +275,9 @@ def start_incremental_prepare(
     # eval suite, measured dominant in bench/prepare_stream_scale.py).
     # localCheckpoint caveat (the functions/minhash.py discipline): on
     # a real cluster an executor loss makes the NEXT batch fail rather
-    # than recompute — acceptable here because the stream restarts
-    # from its checkpoint and rebuilds this table on startup; use
-    # reliable checkpointing if restarts are expensive.
+    # than recompute — acceptable because the stream restarts from its
+    # checkpoint and rebuilds this table on startup. Released when the
+    # query terminates (listener below).
     ev_grams = eval_gram_set(
         eval_df.select(F.col(text_col).alias(text_col)),
         text_col, decontam_gram_n,
@@ -272,15 +296,22 @@ def start_incremental_prepare(
     )
     if trigger_once:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    query = writer.start()
+    releaser = _ReleaseOnTermination(spark, query.id, ev_grams).attach()
+    if not query.isActive:
+        # terminated before the listener attached (tiny availableNow
+        # drains): no event will fire — release now (idempotent)
+        releaser.release()
+    return query
 
 
 def prepared_labels_view(spark: SparkSession, state_dir: str) -> DataFrame:
     """All per-doc labels across applied batches. Each doc appears in
-    exactly one batch's labels dir (a replay overwrites the same dir),
-    so no read-time dedup is needed."""
+    exactly one batch's labels dir (a replay overwrites the same dir).
+    Drain-then-read: while a stream is mid-batch this can include one
+    uncommitted version (module docstring caveat)."""
     label_root = os.path.join(state_dir, "labels")
-    versions = _versions(label_root)
+    versions = snapshot_versions(label_root)
     if not versions:
         return spark.createDataFrame([], _LABELS_DDL)
     return spark.read.schema(_LABELS_DDL).parquet(
@@ -289,10 +320,19 @@ def prepared_labels_view(spark: SparkSession, state_dir: str) -> DataFrame:
 
 
 def hash_state_view(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Current accumulated exact-dup registry (latest snapshot)."""
-    return _read_snapshot(
+    """Current accumulated exact-dup registry (union of the per-batch
+    deltas)."""
+    return read_deltas(
         spark, os.path.join(state_dir, "hashes"), _HASHES_DDL
     )
+
+
+def fold_registry(spark: SparkSession, state_dir: str) -> None:
+    """Compact the registry deltas (all but the replay-sensitive
+    latest — streaming/state.fold_deltas) so dir count stays bounded
+    on long streams. Run while the stream is stopped, e.g. from the
+    post-drain compaction job."""
+    fold_deltas(spark, os.path.join(state_dir, "hashes"), _HASHES_DDL)
 
 
 def compact_labels(

@@ -80,3 +80,25 @@ def test_write_is_one_file_per_bucket(spark, two_tables):
     files (so sorted buckets feed sort-merge joins without re-sorts)."""
     files = [f for f in spark.table("b_docs").inputFiles()]
     assert len(files) == 8
+
+
+def test_register_bucketed_recovers_spec_in_new_session(
+    spark, two_tables, no_broadcast
+):
+    """Cross-run story: the in-memory catalog forgets tables when the
+    session ends — register_bucketed re-attaches the bucket spec to
+    the existing files (simulated here by dropping the catalog entries)
+    and the join is exchange-free again."""
+    from code_index_spark.sources.bucketed import register_bucketed
+
+    a = spark.table("b_docs").inputFiles()[0].rsplit("/", 1)[0]
+    b = spark.table("b_labels").inputFiles()[0].rsplit("/", 1)[0]
+    spark.sql("DROP TABLE b_docs")
+    spark.sql("DROP TABLE b_labels")
+
+    d = register_bucketed(spark, "b_docs", a, "doc_id", 8)
+    l = register_bucketed(spark, "b_labels", b, "doc_id", 8)
+    j = d.join(l, "doc_id")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert j.count() == 250

@@ -156,3 +156,83 @@ def test_prepare_stream_replay_idempotent(spark, tmp_path):
     assert _label_rows(prepared_labels_view(spark, state_dir)) == labels_once
     assert sorted(map(tuple,
                       hash_state_view(spark, state_dir).collect())) == reg_once
+
+
+def test_null_text_docs_get_label_rows(spark, tmp_path):
+    """md5(NULL) equi-joins with nothing: NULL-text docs must still get
+    a label row (never a dup — matching the batch operator's equally
+    null-rejecting reject-set joins), never a registry row."""
+    state_dir = str(tmp_path / "state")
+    ev = spark.createDataFrame([(100, "alpha beta gamma delta")], _SCHEMA)
+    b0 = spark.createDataFrame([(0, _GOOD), (1, None), (2, None)], _SCHEMA)
+
+    _apply_batch(spark, state_dir, b0, 0, ev, "doc_id", "text",
+                 0.7, "en", 3, 1, None, "split-v1")
+    labels = {r["doc_id"]: r["reason"]
+              for r in prepared_labels_view(spark, state_dir).collect()}
+    assert set(labels) == {0, 1, 2}             # nobody dropped
+    assert labels[1] == labels[2] != "exact_dup"  # NULLs never dups
+    reg = hash_state_view(spark, state_dir).collect()
+    assert all(r["text_hash"] is not None for r in reg) and len(reg) == 1
+
+    # batch parity including the NULL rows holds AFTER compaction (the
+    # two NULL docs share the single '' word-gram, so the batch
+    # near-dup stage pairs them at jaccard 1.0 — a deferred-to-
+    # compaction effect, like any near-dup; see dedupe._shingled)
+    from code_index_spark.operators.prepare import prepare_corpus
+    from code_index_spark.streaming.prepare_stream import compact_labels
+
+    batch = prepare_corpus(b0, ev, decontam_gram_n=3)
+    assert _label_rows(compact_labels(spark, state_dir, b0)) == \
+        _label_rows(batch)
+
+
+def test_batch_id_regression_raises(spark, tmp_path):
+    """A wiped/repointed checkpoint restarting batch ids at 0 over a
+    kept state dir must ERROR, not merge against the wrong base."""
+    import pytest as _pytest
+
+    state_dir = str(tmp_path / "state")
+    ev = spark.createDataFrame([(100, "alpha beta gamma delta")], _SCHEMA)
+
+    def apply(df, bid):
+        _apply_batch(spark, state_dir, df, bid, ev, "doc_id", "text",
+                     0.7, "en", 3, 1, None, "split-v1")
+
+    apply(spark.createDataFrame([(0, _GOOD)], _SCHEMA), 5)
+    with _pytest.raises(ValueError, match="restarted behind"):
+        apply(spark.createDataFrame([(9, _PII)], _SCHEMA), 0)
+    apply(spark.createDataFrame([(9, _PII)], _SCHEMA), 5)  # replay ok
+    apply(spark.createDataFrame([(10, _ES)], _SCHEMA), 6)  # forward ok
+
+
+def test_fold_registry_preserves_content_and_replay(spark, tmp_path):
+    """fold_deltas compacts all but the replay-sensitive latest delta;
+    registry content is unchanged and a replay of the latest batch
+    after folding still rewrites identical state."""
+    import os as _os
+
+    from code_index_spark.streaming.prepare_stream import fold_registry
+
+    state_dir = str(tmp_path / "state")
+    ev = spark.createDataFrame([(100, "alpha beta gamma delta")], _SCHEMA)
+
+    def apply(df, bid):
+        _apply_batch(spark, state_dir, df, bid, ev, "doc_id", "text",
+                     0.7, "en", 3, 1, None, "split-v1")
+
+    b2 = spark.createDataFrame([(4, _ES), (5, _GOOD)], _SCHEMA)
+    apply(spark.createDataFrame([(0, _GOOD)], _SCHEMA), 0)
+    apply(spark.createDataFrame([(2, _PII)], _SCHEMA), 1)
+    apply(b2, 2)
+    before = sorted(map(tuple, hash_state_view(spark, state_dir).collect()))
+
+    fold_registry(spark, state_dir)
+    hash_root = _os.path.join(state_dir, "hashes")
+    assert sorted(_os.listdir(hash_root)) == ["v=1", "v=2"]
+    assert sorted(map(tuple,
+                      hash_state_view(spark, state_dir).collect())) == before
+
+    apply(b2, 2)  # replay of the latest batch, post-fold
+    assert sorted(map(tuple,
+                      hash_state_view(spark, state_dir).collect())) == before
