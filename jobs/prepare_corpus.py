@@ -13,16 +13,37 @@ Writes the surviving documents with PII REDACTED and a `split` column,
 partitioned by split (so train/val/test prune at the scan), plus the
 optional per-doc audit table; prints a one-line JSON run report of
 docs/chars/PII counts per (reason, split).
+
+With `--bucket-store DIR` the job additionally maintains the corpus
+and its labels as BUCKETED tables (sources/bucketed.py) under DIR,
+both bucketed on the doc id with `--n-buckets` buckets. This is the
+store's decision rule applied: the corpus×labels id-join recurs in
+every nightly consumer (this job's redaction join, compaction,
+snapshot diff, DSIR/classifier audits), so the id shuffle is paid
+ONCE at ingest instead of per run — the redaction join here plans
+with ZERO Exchange nodes (tests/test_jobs_cli.py asserts it). A
+pre-existing DIR/docs is re-attached via register_bucketed (the
+cross-run path: tomorrow's spark-submit has a fresh in-memory
+catalog), so only the FIRST run pays the corpus shuffle.
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def store_tables(bucket_store: str) -> tuple[str, str]:
+    """Catalog names for a bucket store dir (docs_table, labels_table) —
+    derived from the dir so two stores in one session don't collide;
+    shared with the test, which reopens the tables to check the plan."""
+    tag = hashlib.md5(bucket_store.encode()).hexdigest()[:8]
+    return f"prep_docs_{tag}", f"prep_labels_{tag}"
 
 
 def main(argv=None) -> None:
@@ -41,6 +62,10 @@ def main(argv=None) -> None:
     p.add_argument("--gram-n", type=int, default=8)
     p.add_argument("--max-bucket", type=int, default=None,
                    help="near-dup stop-bucket cap (set ~1000 on crawl corpora)")
+    p.add_argument("--bucket-store", default=None,
+                   help="dir for the persisted bucketed docs+labels tables")
+    p.add_argument("--n-buckets", type=int, default=64,
+                   help="bucket count for --bucket-store (size ≈100-200MB/bucket)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession, functions as F
@@ -52,14 +77,43 @@ def main(argv=None) -> None:
     )
 
     spark = SparkSession.builder.appName("kgp-prepare").getOrCreate()
-    docs = spark.read.parquet(args.input)
+    if args.bucket_store:
+        from code_index_spark.sources.bucketed import (
+            register_bucketed,
+            write_bucketed,
+        )
+
+        docs_tbl, labels_tbl = store_tables(args.bucket_store)
+        docs_path = os.path.join(args.bucket_store, "docs")
+        spark.sql(f"DROP TABLE IF EXISTS `{docs_tbl}`")
+        spark.sql(f"DROP TABLE IF EXISTS `{labels_tbl}`")
+        if os.path.isdir(docs_path):
+            # cross-run path: the files already have the layout, only
+            # the catalog entry is missing in this fresh session
+            docs = register_bucketed(
+                spark, docs_tbl, docs_path, args.id_col, args.n_buckets)
+        else:
+            write_bucketed(spark.read.parquet(args.input), docs_tbl,
+                           args.id_col, args.n_buckets, path=docs_path)
+            docs = spark.table(docs_tbl)
+    else:
+        docs = spark.read.parquet(args.input)
     ev = spark.read.parquet(args.eval_path)
     labels = prepare_corpus(
         docs, ev, id_col=args.id_col, text_col=args.text_col,
         near_dup_threshold=args.threshold, min_quality=args.min_quality,
         keep_lang=args.keep_lang, decontam_gram_n=args.gram_n,
         near_dup_max_bucket=args.max_bucket,
-    ).localCheckpoint(eager=True)  # feeds two sinks + the report
+    )
+    if args.bucket_store:
+        # the bucketed parquet write IS the materialization (no
+        # localCheckpoint needed), and the read-back scan carries the
+        # bucket spec, so the redaction join below is exchange-free
+        write_bucketed(labels, labels_tbl, "doc_id", args.n_buckets,
+                       path=os.path.join(args.bucket_store, "labels"))
+        labels = spark.table(labels_tbl)
+    else:
+        labels = labels.localCheckpoint(eager=True)  # two sinks + report
     if args.labels:
         labels.write.mode("overwrite").parquet(args.labels)
     keep = labels.filter(F.col("reason") == "keep").select(
@@ -76,7 +130,13 @@ def main(argv=None) -> None:
          "n_chars": r["n_chars"], "n_pii_docs": r["n_pii_docs"]}
         for r in summarize_labels(labels).collect()
     ]
-    json.dump({"report": report, "output": args.output}, sys.stdout)
+    out = {"report": report, "output": args.output}
+    if args.bucket_store:
+        out["bucket_store"] = {"dir": args.bucket_store,
+                               "docs_table": docs_tbl,
+                               "labels_table": labels_tbl,
+                               "n_buckets": args.n_buckets}
+    json.dump(out, sys.stdout)
     print()
 
 

@@ -126,6 +126,66 @@ def test_prepare_job_cli(spark, tmp_path, capsys):
     assert labels[5] == "contaminated" and labels[1] == "exact_dup"
 
 
+def test_prepare_job_bucket_store(spark, tmp_path, capsys):
+    """--bucket-store: same results as the plain run, and the
+    corpus×labels id-join — the one every nightly consumer repeats —
+    plans with ZERO Exchange off the persisted tables. Second run
+    re-attaches the existing docs layout instead of rewriting it."""
+    from jobs import prepare_corpus as prepare_job
+    from jobs.prepare_corpus import store_tables
+
+    good = "the quick brown fox and the lazy dog of the meadow in town"
+    docs = spark.createDataFrame(
+        [(0, good), (1, good), (2, good + " tonight"), (3, "x"),
+         (4, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, "alpha beta gamma delta")],
+                               "doc_id long, text string")
+    in_dir, ev_dir = str(tmp_path / "bdocs"), str(tmp_path / "bev")
+    docs.write.parquet(in_dir)
+    ev.write.parquet(ev_dir)
+    store = str(tmp_path / "store")
+    argv = ["--input", in_dir, "--eval", ev_dir, "--gram-n", "3",
+            "--bucket-store", store, "--n-buckets", "4"]
+
+    prepare_job.main(argv + ["--output", str(tmp_path / "out_b")])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["bucket_store"]["n_buckets"] == 4
+
+    prepare_job.main(["--input", in_dir, "--eval", ev_dir, "--gram-n", "3",
+                      "--output", str(tmp_path / "out_plain")])
+    capsys.readouterr()
+    want = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "out_plain")).select("doc_id", "text").collect()))
+    got = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "out_b")).select("doc_id", "text").collect()))
+    assert got == want
+
+    # the recurring consumer join, exactly as the job plans it
+    docs_tbl, labels_tbl = store_tables(store)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table(docs_tbl).join(
+            spark.table(labels_tbl)
+            .filter("reason = 'keep'").select("doc_id", "split"),
+            "doc_id",
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # rerun: docs dir exists → register (no rewrite), labels refreshed
+    docs_files = set(spark.table(docs_tbl).inputFiles())
+    prepare_job.main(argv + ["--output", str(tmp_path / "out_b2")])
+    capsys.readouterr()
+    assert set(spark.table(docs_tbl).inputFiles()) == docs_files
+    spark.sql(f"DROP TABLE IF EXISTS `{docs_tbl}`")
+    spark.sql(f"DROP TABLE IF EXISTS `{labels_tbl}`")
+
+
 def test_prepare_stream_job_cli(spark, tmp_path, capsys):
     """jobs/prepare_stream_job.py: first invocation drains batch 1 and
     reports stream labels (no near_dup — deferred); a later invocation
