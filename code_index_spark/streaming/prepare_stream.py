@@ -335,6 +335,20 @@ def fold_registry(spark: SparkSession, state_dir: str) -> None:
     fold_deltas(spark, os.path.join(state_dir, "hashes"), _HASHES_DDL)
 
 
+def fold_state(spark: SparkSession, state_dir: str) -> None:
+    """Compact BOTH delta-style state families — the hash registry and
+    the per-batch labels (each doc's label row lives in exactly one
+    version dir, so fold_deltas' union-preserving fold applies to both;
+    only the replay-sensitive latest version stays separate). Without
+    this a long stream accumulates one dir + file set per micro-batch
+    and every view read lists/opens O(batches) paths; folded, reads
+    stay O(1) dirs regardless of stream age. Run while the stream is
+    stopped — jobs/prepare_stream_job.py calls it from the compact
+    branch."""
+    fold_deltas(spark, os.path.join(state_dir, "hashes"), _HASHES_DDL)
+    fold_deltas(spark, os.path.join(state_dir, "labels"), _LABELS_DDL)
+
+
 def compact_labels(
     spark: SparkSession,
     state_dir: str,

@@ -59,6 +59,7 @@ def main(argv=None) -> None:
 
     from code_index_spark.streaming.prepare_stream import (
         compact_labels,
+        fold_state,
         prepared_labels_view,
         start_incremental_prepare,
     )
@@ -80,6 +81,9 @@ def main(argv=None) -> None:
             near_dup_max_bucket=args.max_bucket,
         ).localCheckpoint(eager=True)  # feeds the write + the report
         labels.write.mode("overwrite").parquet(args.compact)
+        # stream is drained and stopped here — fold the per-batch state
+        # deltas so dir/file count stays bounded on long-lived streams
+        fold_state(spark, args.state)
         source = "compacted"
     else:
         labels = prepared_labels_view(spark, args.state)

@@ -236,3 +236,41 @@ def test_fold_registry_preserves_content_and_replay(spark, tmp_path):
     apply(b2, 2)  # replay of the latest batch, post-fold
     assert sorted(map(tuple,
                       hash_state_view(spark, state_dir).collect())) == before
+
+
+def test_fold_state_also_folds_labels(spark, tmp_path):
+    """fold_state bounds BOTH state families: after three batches the
+    labels sit in two dirs (folded + replay-sensitive latest) and the
+    labels view is row-identical; a latest-batch replay still lands in
+    its own dir."""
+    import os as _os
+
+    from code_index_spark.streaming.prepare_stream import (
+        fold_state,
+        prepared_labels_view,
+    )
+
+    state_dir = str(tmp_path / "state")
+    ev = spark.createDataFrame([(100, "alpha beta gamma delta")], _SCHEMA)
+
+    def apply(df, bid):
+        _apply_batch(spark, state_dir, df, bid, ev, "doc_id", "text",
+                     0.7, "en", 3, 1, None, "split-v1")
+
+    b2 = spark.createDataFrame([(4, _ES), (5, _GOOD)], _SCHEMA)
+    apply(spark.createDataFrame([(0, _GOOD)], _SCHEMA), 0)
+    apply(spark.createDataFrame([(2, _PII)], _SCHEMA), 1)
+    apply(b2, 2)
+    before = sorted(map(tuple,
+                        prepared_labels_view(spark, state_dir).collect()))
+
+    fold_state(spark, state_dir)
+    for family in ("hashes", "labels"):
+        assert sorted(_os.listdir(_os.path.join(state_dir, family))) == [
+            "v=1", "v=2"]
+    assert sorted(map(tuple, prepared_labels_view(
+        spark, state_dir).collect())) == before
+
+    apply(b2, 2)  # latest-batch replay, post-fold
+    assert sorted(map(tuple, prepared_labels_view(
+        spark, state_dir).collect())) == before
