@@ -1004,6 +1004,21 @@ def _q_fingerprint_docs(spark, sf_dir):
     return fingerprint(tbl["documents"], "doc_id", "text").orderBy("id")
 
 
+def _q_word_freqs_docs(spark, sf_dir):
+    """The corpus-scale pass of BPE tokenizer training (operators/
+    bpe.py): the word-frequency table merge learning runs on. Top-100
+    with a total-order tie-break so the limit boundary is
+    deterministic in both engines."""
+    from code_index_spark.operators.bpe import word_freq_table
+
+    tbl = load_tables(spark, sf_dir)
+    return (
+        word_freq_table(tbl["documents"], "text")
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(100)
+    )
+
+
 # mixture config for the registered query: epochs >1 (oversample),
 # plain keep, half, decimation — one of each family across the srcN
 # strata; unknown strata fall to the default rate
@@ -1382,6 +1397,31 @@ def _q_segment_stats(spark, sf_dir):
     )
 
 
+def _q_bpe_merges_docs(spark, sf_dir):
+    """BPE tokenizer training over the documents corpus — iterative
+    merge learning has no SQL form (rows-only); the trainer is pinned
+    merge-for-merge against a naive reference implementation in
+    tests/test_bpe.py, and its input table is hash-oracled as
+    word_freqs_docs."""
+    from code_index_spark.operators.bpe import merges_table, train_bpe
+
+    tbl = load_tables(spark, sf_dir)
+    return merges_table(
+        spark, train_bpe(tbl["documents"], 48, "text", min_count=2)
+    ).orderBy("rank")
+
+
+def _q_bpe_encode_docs(spark, sf_dir):
+    """Corpus encoded with the corpus-trained BPE (rows-only: encoding
+    replays the learned merges). Bounds n_pretokens ≤ learned_tokens ≤
+    base_chars are pytest-pinned."""
+    from code_index_spark.operators.bpe import encode_bpe, train_bpe
+
+    tbl = load_tables(spark, sf_dir)
+    merges = train_bpe(tbl["documents"], 48, "text", min_count=2)
+    return encode_bpe(tbl["documents"], merges).orderBy("doc_id")
+
+
 def _q_reassembled_segments(spark, sf_dir):
     t = derived_transcripts(spark, sf_dir)
     return reassemble_splits(segment(t))
@@ -1667,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_docs": _q_pii_docs,
         "mixture_sample_docs": _q_mixture_sample_docs,
         "token_counts": _q_token_counts,
+        "word_freqs_docs": _q_word_freqs_docs,
         "fingerprint_docs": _q_fingerprint_docs,
         "dup_window_docs": _q_dup_window_docs,
         "passage_dedup_docs": _q_passage_dedup_docs,
@@ -1692,10 +1733,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_linking": _q_entity_linking,
         "entity_search": _q_entity_search,
         "entity_search_indexed": _q_entity_search_indexed,
-        "search_rank": _q_search_rank,
         # --- driver 50-query sample window ends here (position 50);
         # everything below is driver-green from earlier rounds or
         # rows-only, and the `-m slow` sweep re-checks all of it ---
+        "search_rank": _q_search_rank,
         "entity_mentions_top": _q_entity_mentions_top,
         "graph_vertices_named": _q_graph_vertices_named,
         "graph_entities_named": _q_graph_entities_named,
@@ -1735,6 +1776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "long_turns": _q_long_turns,
         "snippet_preview": _q_snippet_preview,
         # rows-only tail (no oracle hash in the driver row by design)
+        "bpe_merges_docs": _q_bpe_merges_docs,
+        "bpe_encode_docs": _q_bpe_encode_docs,
         "media_features": _q_media_features,
         "segment_stats": _q_segment_stats,
         "reassembled_segments": _q_reassembled_segments,
@@ -3401,6 +3444,12 @@ def oracle_sql() -> dict[str, str]:
             "   ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS ws_tokens,"
             f" CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INT) AS bpe_tokens "
             "FROM documents ORDER BY doc_id"
+        ),
+        "word_freqs_docs": (
+            "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+            " SELECT unnest(regexp_extract_all(lower(text),"
+            f" '{TOKEN_REGEX}')) AS word FROM documents)"
+            " GROUP BY word ORDER BY n DESC, word LIMIT 100"
         ),
         "minhash_candidates": _minhash_candidates_oracle(8),
         # Remaining rows-only queries, each genuinely non-SQL:
