@@ -126,6 +126,32 @@ def test_prepare_job_cli(spark, tmp_path, capsys):
     assert labels[5] == "contaminated" and labels[1] == "exact_dup"
 
 
+def test_train_tokenizer_job_cli(spark, tmp_path, capsys):
+    """jobs/train_tokenizer.py: merge table persisted and reloadable,
+    encoded table carries the compression the report claims."""
+    from jobs import train_tokenizer as tok_job
+
+    docs = spark.createDataFrame(
+        [(0, "low low low low low"), (1, "lower lower newest newest"),
+         (2, "newest newest newest newest"), (3, "widest widest widest")],
+        "doc_id long, text string",
+    )
+    in_dir = str(tmp_path / "tdocs")
+    docs.write.parquet(in_dir)
+    merges_dir, enc_dir = str(tmp_path / "merges"), str(tmp_path / "enc")
+    tok_job.main(["--input", in_dir, "--merges", merges_dir,
+                  "--encoded", enc_dir, "--n-merges", "10",
+                  "--min-count", "1"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["merges_learned"] == 10 and rep["chars_per_token"] > 1
+    got = spark.read.parquet(merges_dir)
+    assert got.count() == 10
+    assert {r["rank"] for r in got.collect()} == set(range(10))
+    enc = spark.read.parquet(enc_dir)
+    assert enc.count() == 4
+    assert enc.filter("learned_tokens > base_chars").count() == 0
+
+
 def test_prepare_job_bucket_store(spark, tmp_path, capsys):
     """--bucket-store: same results as the plain run, and the
     corpus×labels id-join — the one every nightly consumer repeats —
