@@ -1309,6 +1309,41 @@ def _q_pack_sequences_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_training_layout_docs(spark, sf_dir):
+    """Composed training-set layout — the jobs/materialize_training_set
+    shape: mixture-sample documents per source rate, join per-doc token
+    counts ONCE (epochs reuse the count, docs are never re-tokenized),
+    pack the sampled copies into budget-sized blocks across shard
+    streams. The full mixture->tokenize->pack composition value-hashes
+    against a CTE twin built from the same mixture_sample_sql/pack_sql
+    generators; token counts use the BPE pre-token regex (merge-table
+    counting itself is non-SQL and covered rows-only by
+    bpe_encode_docs)."""
+    from code_index_spark.operators.split import mixture_sample, pack_sequences
+    from code_index_spark.operators.textstats import token_counts
+
+    tbl = load_tables(spark, sf_dir)
+    docs = tbl["documents"]
+    counts = token_counts(docs, "text").select("doc_id", "bpe_tokens")
+    mix = mixture_sample(
+        docs.select("doc_id", "source"), "doc_id", "source",
+        _MIX_RATES, _MIX_DEFAULT,
+    )
+    units = mix.join(counts, "doc_id").select(
+        (F.col("doc_id") * 10 + F.col("epoch")).alias("unit_id"),
+        "bpe_tokens",
+    )
+    return (
+        pack_sequences(units, "unit_id", "bpe_tokens", budget=512, n_shards=4)
+        .select(
+            F.expr("doc_id div 10").alias("doc_id"),
+            (F.col("doc_id") % 10).cast("int").alias("epoch"),
+            "shard", "n_tokens", "tok_start", "block_first", "block_last",
+        )
+        .orderBy("doc_id", "epoch")
+    )
+
+
 def _planted_prepare_docs(docs):
     """Documents with PII planted by TEXT-HASH parity (not doc_id),
     so identical texts receive identical suffixes and the exact-dup
@@ -1775,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_mentions": _q_hot_mentions,
         "long_turns": _q_long_turns,
         "snippet_preview": _q_snippet_preview,
+        "training_layout_docs": _q_training_layout_docs,
         # rows-only tail (no oracle hash in the driver row by design)
         "bpe_merges_docs": _q_bpe_merges_docs,
         "bpe_encode_docs": _q_bpe_encode_docs,
@@ -2622,6 +2658,38 @@ def _mixture_oracle() -> str:
     )
 
 
+def _training_layout_oracle() -> str:
+    """Composed mixture->tokenize->pack oracle from the same
+    mixture_sample_sql / pack_sql generators the standalone oracles
+    use (single source for rates, salts, budget, shards); the
+    (doc_id, epoch) pair is carried through packing as
+    unit_id = doc_id*10 + epoch and decoded back by div/mod."""
+    from code_index_spark.operators.split import mixture_sample_sql, pack_sql
+
+    n_expr, _ = mixture_sample_sql("doc_id", "source", _MIX_RATES, _MIX_DEFAULT)
+    packed = pack_sql(
+        "unit_id", "n_toks", budget=512, n_shards=4, from_clause="u"
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id, unnest([e for e in range(0, n_copies)]) AS epoch
+  FROM (SELECT doc_id, {n_expr} AS n_copies FROM documents)
+), t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_toks
+  FROM documents
+), u AS (
+  SELECT m.doc_id * 10 + m.epoch AS unit_id, t.n_toks
+  FROM m JOIN t USING (doc_id)
+)
+SELECT CAST(doc_id // 10 AS BIGINT) AS doc_id,
+       CAST(doc_id % 10 AS INT) AS epoch,
+       shard, n_tokens, tok_start, block_first, block_last
+FROM ({packed})
+ORDER BY doc_id, epoch
+"""
+
+
 def _pii_oracle() -> str:
     """PII oracle generated from the SAME pattern table the engine
     uses (operators/pii.py PII_PATTERNS); DuckDB regexp_replace needs
@@ -3438,6 +3506,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": _corpus_report_oracle(),
         "pii_docs": _pii_oracle(),
         "mixture_sample_docs": _mixture_oracle(),
+        "training_layout_docs": _training_layout_oracle(),
         "token_counts": (
             "SELECT doc_id,"
             " CAST(CASE WHEN length(trim(text)) = 0 THEN 0"

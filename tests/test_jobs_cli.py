@@ -152,6 +152,54 @@ def test_train_tokenizer_job_cli(spark, tmp_path, capsys):
     assert enc.filter("learned_tokens > base_chars").count() == 0
 
 
+def test_materialize_training_set_job_cli(spark, tmp_path, capsys):
+    """jobs/materialize_training_set.py: mixture epochs honored,
+    per-shard token streams contiguous, block count matches the
+    report, layout partitioned by shard and deterministic on re-run."""
+    import os
+
+    from jobs import materialize_training_set as mts_job
+
+    vocab = ["alpha", "beta", "gamma", "delta", "omega"]
+    rows = [(i, "a" if i % 2 == 0 else "b",
+             " ".join(vocab[(i * 7 + j) % 5] for j in range(6)))
+            for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    in_dir = str(tmp_path / "prepared")
+    docs.write.parquet(in_dir)
+    out_dir = str(tmp_path / "layout")
+    argv = ["--input", in_dir, "--output", out_dir,
+            "--rates", '{"a": 2.0, "b": 1.0}', "--stratum-col", "source",
+            "--n-merges", "4", "--min-count", "1",
+            "--budget", "8", "--n-shards", "2"]
+    mts_job.main(argv)
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # rate 2.0 -> exactly 2 copies of every 'a' doc; 1.0 -> one 'b' copy
+    assert rep["n_units"] == 2 * 6 + 6 and rep["oversample"] == 1.5
+    assert os.path.isdir(os.path.join(out_dir, "shard=0"))
+
+    got = spark.read.parquet(out_dir).toPandas()
+    assert len(got) == rep["n_units"]
+    a_epochs = got[got.doc_id % 2 == 0].groupby("doc_id").epoch.agg(set)
+    assert all(e == {0, 1} for e in a_epochs)
+    blocks = 0
+    for _, g in got.groupby("shard"):
+        g = g.sort_values("tok_start")
+        # contiguous stream: each unit starts where the previous ended
+        assert (g.tok_start == g.n_tokens.cumsum() - g.n_tokens).all()
+        total = int(g.n_tokens.sum())
+        blocks += -(-total // 8)
+        assert (g.block_first == g.tok_start // 8).all()
+    assert rep["blocks"] == blocks and rep["merges_used"] == 4
+
+    mts_job.main(argv)  # deterministic layout: bytes differ, values don't
+    capsys.readouterr()
+    again = spark.read.parquet(out_dir).toPandas()
+    cols = ["doc_id", "epoch", "shard", "n_tokens", "tok_start"]
+    assert (got[cols].sort_values(cols).values
+            == again[cols].sort_values(cols).values).all()
+
+
 def test_prepare_job_bucket_store(spark, tmp_path, capsys):
     """--bucket-store: same results as the plain run, and the
     corpus×labels id-join — the one every nightly consumer repeats —
