@@ -25,12 +25,14 @@ DuckDB-oracled in the driver registry (`mixture_sample_docs`,
 mixture->pack shape value-hashes end-to-end as
 `training_layout_docs`.
 
-Scale shape (100 TB): one corpus-scale Arrow encode pass, one
-(id-equi) join of token counts onto the sampled copies — docs are
-tokenized ONCE however many epochs oversample them — and ONE shuffle
-into n_shards streams with a per-shard window cumsum (pack_sequences
-docstring). The rates map is config-scale and compiles to a CASE.
-Choose n_shards so a shard's layout rows fit an executor sort budget.
+Scale shape (100 TB): one corpus-scale Arrow encode pass whose output
+lands as a persisted (id, 3 ints) token-count artifact — docs are
+tokenized ONCE however many epochs oversample them and however many
+consumers re-read the counts — then one id-equi join of the compact
+counts onto the sampled copies and ONE shuffle into n_shards streams
+with a per-shard window cumsum (pack_sequences docstring). The rates
+map is config-scale and compiles to a CASE. Choose n_shards so a
+shard's layout rows fit an executor sort budget.
 
 Prints a one-line JSON report: docs in, units sampled (oversample
 factor), total tokens, blocks produced, compression.
@@ -84,6 +86,8 @@ def main(argv=None) -> None:
     p.add_argument("--budget", type=int, default=2048,
                    help="tokens per training block")
     p.add_argument("--n-shards", type=int, default=64)
+    p.add_argument("--counts", default=None,
+                   help="token-count table dir (default <output>_token_counts)")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     args = p.parse_args(argv)
@@ -105,8 +109,14 @@ def main(argv=None) -> None:
         merges = train_bpe(docs, args.n_merges, args.text_col,
                            min_count=args.min_count)
 
-    # one tokenize pass over DOCS (not copies): epochs reuse the count
-    counts = encode_bpe(docs, merges, args.id_col, args.text_col)
+    # ONE tokenize pass over DOCS (not copies): the expensive Arrow
+    # encode runs once and lands as a compact persisted artifact —
+    # both consumers below (the mixture join and the report agg) read
+    # the (id, 3 ints) table instead of re-running the Python pass
+    counts_dir = args.counts or args.output.rstrip("/") + "_token_counts"
+    encode_bpe(docs, merges, args.id_col, args.text_col).write.mode(
+        "overwrite").parquet(counts_dir)
+    counts = spark.read.parquet(counts_dir)
 
     slots = epoch_slots(rates, args.default_rate)
     mix = mixture_sample(
@@ -152,7 +162,7 @@ def main(argv=None) -> None:
         "merges_used": len(merges),
         "chars_per_token": round(
             (corpus["chars"] or 0) / max(corpus["toks"] or 1, 1), 3),
-        "output": args.output,
+        "output": args.output, "counts": counts_dir,
     }
     json.dump(report, sys.stdout)
     print()

@@ -177,6 +177,8 @@ def test_materialize_training_set_job_cli(spark, tmp_path, capsys):
     # rate 2.0 -> exactly 2 copies of every 'a' doc; 1.0 -> one 'b' copy
     assert rep["n_units"] == 2 * 6 + 6 and rep["oversample"] == 1.5
     assert os.path.isdir(os.path.join(out_dir, "shard=0"))
+    # the one-pass encode lands as a reusable artifact
+    assert spark.read.parquet(rep["counts"]).count() == 12
 
     got = spark.read.parquet(out_dir).toPandas()
     assert len(got) == rep["n_units"]
