@@ -1724,7 +1724,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "lsh_bucketed_topk": _q_lsh_bucketed_topk,
-        "ivf_topk": _q_ivf_topk,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dup_pairs_blocked": _q_embedding_dup_pairs_blocked,
         "semantic_dedup_docs": _q_semantic_dedup_docs,
@@ -1755,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _q_source_overlap,
         "snapshot_diff_docs": _q_snapshot_diff,
         "corpus_report": _q_corpus_report,
+        "training_layout_docs": _q_training_layout_docs,
         # event-time joins
         "events_prior_clicks": _q_events_prior_clicks,
         "prior_clicks_stream_twin": _q_prior_clicks_stream_twin,
@@ -1810,8 +1810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_mentions": _q_hot_mentions,
         "long_turns": _q_long_turns,
         "snippet_preview": _q_snippet_preview,
-        "training_layout_docs": _q_training_layout_docs,
         # rows-only tail (no oracle hash in the driver row by design)
+        "ivf_topk": _q_ivf_topk,
         "bpe_merges_docs": _q_bpe_merges_docs,
         "bpe_encode_docs": _q_bpe_encode_docs,
         "media_features": _q_media_features,
