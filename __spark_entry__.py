@@ -999,6 +999,103 @@ def _q_token_counts(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# Deterministic mess injected over the clean synthetic documents so the
+# normalizer has real work at every SF: curly quotes/dash/ellipsis,
+# NBSP + zero-width space (embedded as UTF-8 literals — chr(n>255)
+# diverges between engines), CRLF, control chars, tab/space runs and
+# trailing blank lines. Valid in BOTH Spark SQL (F.expr) and DuckDB
+# (no backslash escapes anywhere), so one fragment feeds engine and
+# oracle. doc_id % 4 = 1 rows stay clean → `changed` has both values.
+_MESSY_SQL = (
+    "CASE WHEN doc_id % 4 = 1 THEN text ELSE"
+    " ' ' || chr(9) || replace(text, ' the ', '  the  ')"
+    " || CASE WHEN doc_id % 3 = 0"
+    "         THEN chr(13) || chr(10) || 'crlf — dash' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0"
+    "         THEN ' “q” …' || '​' ELSE ' ' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' nbsp' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN chr(1) || chr(31) ELSE '' END"
+    " || chr(10) || chr(10) || chr(10) || 'tail ' END"
+)
+
+
+def _q_normalized_docs(spark, sf_dir):
+    """Text normalization (clean.py): full value-hash on the normalized
+    string itself, so every rule + the rule ORDER is oracle-pinned."""
+    from code_index_spark.operators.clean import normalize_text
+
+    tbl = load_tables(spark, sf_dir)
+    messy = tbl["documents"].select(
+        "doc_id", F.expr(_MESSY_SQL).alias("messy")
+    )
+    return normalize_text(messy, "messy").select(
+        "doc_id", "text_norm", "len_before", "len_after",
+        F.col("changed").cast("int").alias("changed"),
+    ).orderBy("doc_id")
+
+
+def _normalized_docs_oracle() -> str:
+    from code_index_spark.operators.clean import normalize_sql_expr
+
+    return f"""
+WITH messy AS (SELECT doc_id, {_MESSY_SQL} AS m FROM documents),
+norm AS (SELECT doc_id, m, {normalize_sql_expr('m')} AS text_norm
+         FROM messy)
+SELECT doc_id, text_norm,
+       CAST(length(m) AS INT) AS len_before,
+       CAST(length(text_norm) AS INT) AS len_after,
+       CAST(text_norm <> m AS INT) AS changed
+FROM norm ORDER BY doc_id
+"""
+
+
+_BM25_QUERY = "spark vector window merge"
+
+
+def _q_search_bm25_docs(spark, sf_dir):
+    """BM25 lexical serving path: materialized per-(term, doc) partial
+    scores (integer micros), query = semi-join + bigint sum + top-k —
+    the build-once/serve-cheap shape of link.build_search_index applied
+    to whole-document retrieval."""
+    from code_index_spark.operators.rank import bm25_index, bm25_topk
+
+    tbl = load_tables(spark, sf_dir)
+    idx = bm25_index(tbl["documents"], "doc_id", "text")
+    return bm25_topk(idx, _BM25_QUERY, k=10)
+
+
+def _bm25_oracle(query: str, k: int) -> str:
+    import re
+
+    from code_index_spark.operators.rank import (
+        _BM25_TOKEN_SPLIT, BM25_B, BM25_K1,
+    )
+
+    terms = sorted({t for t in re.split(_BM25_TOKEN_SPLIT, query.lower()) if t})
+    in_list = ", ".join("'" + t + "'" for t in terms)
+    return f"""
+WITH words AS (
+  SELECT doc_id, w AS term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '{_BM25_TOKEN_SPLIT}')) AS w
+    FROM documents) t WHERE w <> ''
+), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+idx AS (
+  SELECT term, tf.doc_id,
+         CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+              * (tf * {1.0 + BM25_K1} / (tf + {BM25_K1} * ({1.0 - BM25_B}
+                 + {BM25_B} * dl / avgdl))) * 1e6, 0) AS BIGINT) AS w_micros
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats)
+SELECT doc_id, CAST(SUM(w_micros) AS BIGINT) AS score_micros,
+       COUNT(*) AS n_terms_hit
+FROM idx WHERE term IN ({in_list})
+GROUP BY doc_id ORDER BY score_micros DESC, doc_id LIMIT {k}
+"""
+
+
 def _q_fingerprint_docs(spark, sf_dir):
     tbl = load_tables(spark, sf_dir)
     return fingerprint(tbl["documents"], "doc_id", "text").orderBy("id")
@@ -1735,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "lang_id_docs": _q_lang_id_docs,
         "doc_quality": _q_doc_quality,
+        "normalized_docs": _q_normalized_docs,
         "repetition_docs": _q_repetition_docs,
         "decontaminate_docs": _q_decontaminate_docs,
         "decontam_bloom_docs": _q_decontam_bloom_docs,
@@ -1764,13 +1862,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG pipeline flagships
         "triples_by_pred": _q_triples_by_pred,
         "triples_rows": _q_triples_rows,
-        "triples_rows_catalyst": _q_triples_rows_catalyst,
         "entity_linking": _q_entity_linking,
-        "entity_search": _q_entity_search,
         "entity_search_indexed": _q_entity_search_indexed,
+        "search_bm25_docs": _q_search_bm25_docs,
         # --- driver 50-query sample window ends here (position 50);
         # everything below is driver-green from earlier rounds or
-        # rows-only, and the `-m slow` sweep re-checks all of it ---
+        # rows-only, and the `-m slow` sweep re-checks all of it
+        # (triples_rows_catalyst is the same-hash twin of triples_rows;
+        # entity_search is the pre-index slow path, superseded in the
+        # window by entity_search_indexed — both stay fully oracled) ---
+        "triples_rows_catalyst": _q_triples_rows_catalyst,
+        "entity_search": _q_entity_search,
         "search_rank": _q_search_rank,
         "entity_mentions_top": _q_entity_mentions_top,
         "graph_vertices_named": _q_graph_vertices_named,
@@ -3490,6 +3592,8 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _dataset_split_oracle(),
         "lang_id_docs": _LANG_ORACLE,
         "doc_quality": _QUALITY_ORACLE,
+        "normalized_docs": _normalized_docs_oracle(),
+        "search_bm25_docs": _bm25_oracle(_BM25_QUERY, 10),
         "repetition_docs": _REPETITION_ORACLE,
         "decontaminate_docs": _DECONTAM_ORACLE,
         "decontam_bloom_docs": _DECONTAM_ORACLE,

@@ -144,3 +144,105 @@ def reassemble_splits(segments: DataFrame) -> DataFrame:
             F.max("split_total").alias("n_parts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical search over a materialized index (round 5)
+# ---------------------------------------------------------------------------
+# The serving-path discipline of link.build_search_index applied to
+# whole-document lexical retrieval (reference bar: the persistent
+# index that makes search_service.py queries cost ~56 ms while
+# indexing is the batch job — vector_store.py:386-477): everything
+# query-independent in the BM25 formula
+#
+#   score(q, d) = Σ_{t ∈ q}  idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+#
+# is the per-(term, doc) factor, so the index STORES the finished
+# partial score and serving is a broadcast semi-join on the query
+# terms + one groupBy-sum + top-k. Scores are kept as integer MICROS
+# (round(w·1e6) BIGINT): summing bigints is order-independent, so the
+# DuckDB oracle matches bit-for-bit (the zero-float-arithmetic
+# bucketing lesson — float sums drift across engines).
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+_BM25_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def bm25_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Materialized BM25 index: one row per (term, doc) with the
+    query-independent partial score in integer micros.
+
+    Plan shape at 100 TB: tokenize is codegen in the scan stage; the
+    two aggregations (per-doc tf, per-term df) each shuffle rows that
+    are orders of magnitude smaller than the corpus text; N/avgdl are
+    scalar side-products folded in as literals via a tiny cross-free
+    broadcast join on a constant key. Write the result partitioned/
+    bucketed by term and the serving path is partition-pruned."""
+    words = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), _BM25_TOKEN_SPLIT)
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # Lucene-style always-positive idf
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    w = idf * (
+        F.col("tf")
+        * (1.0 + k1)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))  # 1-row stats: literal fold-in
+        .select(
+            "term",
+            "doc_id",
+            F.col("tf").cast("int").alias("tf"),
+            F.round(w * 1e6, 0).cast("bigint").alias("w_micros"),
+        )
+    )
+
+
+def bm25_topk(index: DataFrame, query: str, k: int = 10) -> DataFrame:
+    """Serve a query from the materialized index: semi-join the
+    query's tokens (broadcast — a query is a handful of terms),
+    sum the stored partial scores, stable top-k.
+
+    A repeated query term contributes once (set semantics, the
+    standard bag-of-words BM25 over distinct query terms)."""
+    import re
+
+    terms = sorted(
+        {t for t in re.split(_BM25_TOKEN_SPLIT, query.lower()) if t}
+    )
+    spark = index.sparkSession
+    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    return (
+        index.join(F.broadcast(qdf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w_micros").alias("score_micros"),
+            F.count("*").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
