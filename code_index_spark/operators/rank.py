@@ -175,16 +175,23 @@ def bm25_index(
     text_col: str,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Materialized BM25 index: one row per (term, doc) with the
     query-independent partial score in integer micros.
 
     Plan shape at 100 TB: tokenize is codegen in the scan stage; the
-    two aggregations (per-doc tf, per-term df) each shuffle rows that
-    are orders of magnitude smaller than the corpus text; N/avgdl are
-    scalar side-products folded in as literals via a tiny cross-free
-    broadcast join on a constant key. Write the result partitioned/
-    bucketed by term and the serving path is partition-pruned."""
+    aggregations and joins shuffle (doc_id, term, counts) rows that
+    are orders of magnitude smaller than the corpus text. The term→df
+    table is VOCABULARY-sized (tens of millions of rows on a real
+    corpus) so it joins by shuffle, never broadcast — the only
+    broadcast is the 1-row (n_docs, avgdl) stats fold-in. Stop-words
+    make the term key skewed; AQE's skew-join split handles the join,
+    and `max_df_frac` (e.g. 0.5) drops terms present in more than that
+    fraction of docs from the index entirely — the standard stop-term
+    cap: such terms carry near-zero idf yet corpus-sized posting lists,
+    the curation stop-bucket lesson applied to retrieval. Default None
+    keeps exact textbook BM25 (what the DuckDB oracle replicates)."""
     words = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -209,35 +216,57 @@ def bm25_index(
         * (1.0 + k1)
         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
     )
-    return (
+    joined = (
         tf.join(dl, "doc_id")
-        .join(F.broadcast(df_), "term")
+        .join(df_, "term")
         .crossJoin(F.broadcast(stats))  # 1-row stats: literal fold-in
-        .select(
-            "term",
-            "doc_id",
-            F.col("tf").cast("int").alias("tf"),
-            F.round(w * 1e6, 0).cast("bigint").alias("w_micros"),
+    )
+    if max_df_frac is not None:
+        joined = joined.filter(
+            F.col("df") <= F.col("n_docs") * float(max_df_frac)
         )
+    return joined.select(
+        "term",
+        "doc_id",
+        F.col("tf").cast("int").alias("tf"),
+        F.round(w * 1e6, 0).cast("bigint").alias("w_micros"),
+    )
+
+
+def bm25_tokens(query: str) -> list[str]:
+    """Distinct sorted query tokens (set semantics — the standard
+    bag-of-words BM25 over distinct query terms, so a repeated term
+    contributes once)."""
+    import re
+
+    return sorted(
+        {t for t in re.split(_BM25_TOKEN_SPLIT, query.lower()) if t}
     )
 
 
 def bm25_topk(index: DataFrame, query: str, k: int = 10) -> DataFrame:
-    """Serve a query from the materialized index: semi-join the
-    query's tokens (broadcast — a query is a handful of terms),
-    sum the stored partial scores, stable top-k.
+    """Serve a query from the materialized index: an IN-filter on the
+    query's tokens, sum the stored partial scores, stable top-k.
 
-    A repeated query term contributes once (set semantics, the
-    standard bag-of-words BM25 over distinct query terms)."""
-    import re
+    The filter (not a join) is the scale lever: it pushes to the
+    parquet scan (row-group stats on the sorted term column skip
+    almost everything) and, when the index is stored bucketed by term
+    (sources/bucketed.py), Spark's bucket pruning reads only the
+    len(terms) buckets that can contain the query — serving cost is
+    per-term, not per-corpus. The one exchange left is the tiny
+    (doc_id, partial-sum) aggregation, map-side combined.
 
-    terms = sorted(
-        {t for t in re.split(_BM25_TOKEN_SPLIT, query.lower()) if t}
-    )
-    spark = index.sparkSession
-    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    Serving sessions over a BUCKETED index should set
+    spark.sql.sources.bucketing.autoBucketedScan.enabled=false at
+    session build (NOT per-operator — the concurrency lesson):
+    DisableUnnecessaryBucketedScan only credits exchange removal, not
+    bucket pruning, so the default silently downgrades to a plain
+    scan (still row-group-pruned via the per-bucket term sort, but
+    file-level pruning is the sub-linear contract —
+    tests/test_bucketed.py pins SelectedBucketsCount ≤ #terms)."""
+    terms = bm25_tokens(query)
     return (
-        index.join(F.broadcast(qdf), "term")
+        index.filter(F.col("term").isin(terms))
         .groupBy("doc_id")
         .agg(
             F.sum("w_micros").alias("score_micros"),

@@ -102,3 +102,43 @@ def test_register_bucketed_recovers_spec_in_new_session(
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert j.count() == 250
+
+
+def test_bm25_index_bucketed_serving_prunes_buckets(spark, tmp_path):
+    """The BM25 serving contract at scale: stored bucketed by term,
+    a query's IN-filter lets Spark read ONLY the buckets that can
+    contain the query terms (SelectedBucketsCount < total), and the
+    pruned read returns the same top-k as the in-memory index."""
+    from code_index_spark.operators.rank import bm25_index, bm25_topk
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta word"),
+            (F.col("id") % 13).cast("string"),
+            F.lit(" word"), (F.col("id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    idx = bm25_index(docs, "doc_id", "text").localCheckpoint(eager=True)
+    write_bucketed(idx, "b_bm25", "term", 16,
+                   path=str(tmp_path / "bm25"))
+    # serving sessions pin autoBucketedScan off: Spark's
+    # DisableUnnecessaryBucketedScan rule only credits bucketed scans
+    # that remove an Exchange, not bucket PRUNING, so with the default
+    # it silently falls back to a plain scan (row-group pruning only)
+    old = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        served = bm25_topk(read_bucketed(spark, "b_bm25"), "alpha word3", k=5)
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan
+        n_sel = int(plan.split("SelectedBucketsCount: ")[1].split(" out of")[0])
+        assert n_sel <= 2          # ≤ one bucket per query term
+        want = [(r["doc_id"], r["score_micros"])
+                for r in bm25_topk(idx, "alpha word3", k=5).collect()]
+        got = [(r["doc_id"], r["score_micros"]) for r in served.collect()]
+        assert got == want
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", old)
+        spark.sql("DROP TABLE IF EXISTS b_bm25")

@@ -160,10 +160,19 @@ def test_bm25_micros_match_formula(bm25_docs):
         assert r["w_micros"] == round(w * 1e6)
 
 
-def test_bm25_serving_plan_broadcasts_query(bm25_docs):
-    """The serving path must broadcast the query side (a handful of
-    terms) — never shuffle the index to meet the query."""
+def test_bm25_serving_plan_filters_not_joins(bm25_docs, tmp_path):
+    """The serving path is an IN-filter + one tiny aggregation — no
+    join, no shuffle of the index beyond the (doc_id, sum) exchange;
+    from parquet the term filter reaches the scan (PushedFilters)."""
     _, idx = bm25_docs
     plan = bm25_topk(idx, "spark window", k=5)._jdf.queryExecution(
     ).executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    # durable form: the filter pushes into the parquet scan
+    path = str(tmp_path / "bm25")
+    idx.write.parquet(path)
+    spark = idx.sparkSession
+    pplan = bm25_topk(spark.read.parquet(path), "spark window", k=5)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(term" in pplan

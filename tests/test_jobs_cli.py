@@ -302,3 +302,33 @@ def test_prepare_stream_job_cli(spark, tmp_path, capsys):
                                             decontam_gram_n=3).collect()))
     got = sorted(map(tuple, spark.read.parquet(comp).collect()))
     assert got == want
+
+
+def test_build_search_index_job_cli(spark, tmp_path, capsys):
+    """Both serving indexes built + bucketed by the job, probe query
+    served from the persisted form (the batch half of the reference's
+    index-then-serve split)."""
+    from code_index_spark.operators.extract import extract_triples_sql
+    from jobs import build_search_index as job
+
+    pdf, _ = synthesize(20, seed=42)
+    t = spark.createDataFrame(pdf, schema=TRANSCRIPTS)
+    triples_dir = str(tmp_path / "triples")
+    extract_triples_sql(t).write.parquet(triples_dir)
+    docs_dir = str(tmp_path / "docs")
+    t.selectExpr(
+        "conv_id || '-' || turn_idx AS doc_id", "text"
+    ).write.parquet(docs_dir)
+
+    try:
+        job.main([
+            "--triples", triples_dir, "--docs", docs_dir,
+            "--output", str(tmp_path / "idx"), "--buckets", "8",
+            "--id-col", "doc_id", "--probe", "acme corp widget",
+        ])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["entities_rows"] > 0 and out["bm25_postings"] > 0
+        assert out["probe_entities_ms"] > 0 and out["probe_bm25_ms"] > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS search_index_entities")
+        spark.sql("DROP TABLE IF EXISTS search_index_bm25")
