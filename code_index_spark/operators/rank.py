@@ -192,16 +192,36 @@ def bm25_index(
     cap: such terms carry near-zero idf yet corpus-sized posting lists,
     the curation stop-bucket lesson applied to retrieval. Default None
     keeps exact textbook BM25 (what the DuckDB oracle replicates)."""
+    # ONE corpus-sized shuffle, of the narrow (id, text) projection —
+    # text rows are smaller than their exploded postings, and the
+    # repartition-on-key is then REUSED by tf's groupBy(doc_id, term),
+    # dl's groupBy(doc_id) and the tf⋈dl join (partitioning exprs ⊆
+    # clustering keys ⇒ no new exchange — the plan-local sizing rule),
+    # so the only other posting-sized exchange left is the term-side
+    # join. It also spreads tokenization off a single-file scan.
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).repartition("doc_id")
     words = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
+        base.select(
+            "doc_id",
             F.explode(
-                F.split(F.lower(F.col(text_col)), _BM25_TOKEN_SPLIT)
+                F.split(F.lower(F.col("__text")), _BM25_TOKEN_SPLIT)
             ).alias("term"),
         )
         .filter(F.col("term") != "")
     )
-    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf has THREE consumers (dl, df_, the assembly join) and — because
+    # the groupBy reuses base's partitioning — NO exchange of its own
+    # for plan branches to share: without materialization every branch
+    # re-tokenizes the corpus (measured 3× the build CPU at 2M docs).
+    # localCheckpoint is the repo's shared-intermediate discipline; the
+    # block store holds the index-sized tf table once, with base's
+    # doc_id partitioning preserved so dl and the join stay
+    # exchange-free.
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    ).localCheckpoint(eager=True)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -216,9 +236,14 @@ def bm25_index(
         * (1.0 + k1)
         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
     )
+    # merge hints: both assembly joins are corpus-rate tables (dl is
+    # one row per DOC) — the checkpoint's accurate stats otherwise let
+    # AQE pick a broadcast whose hashed relation is GBs at a few
+    # million docs (observed OOM at 2M); SMJ is exchange-free here
+    # anyway since both sides carry base's doc_id partitioning.
     joined = (
-        tf.join(dl, "doc_id")
-        .join(df_, "term")
+        tf.join(dl.hint("merge"), "doc_id")
+        .join(df_.hint("merge"), "term")
         .crossJoin(F.broadcast(stats))  # 1-row stats: literal fold-in
     )
     if max_df_frac is not None:

@@ -176,3 +176,35 @@ def test_bm25_serving_plan_filters_not_joins(bm25_docs, tmp_path):
     pplan = bm25_topk(spark.read.parquet(path), "spark window", k=5)\
         ._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(term" in pplan
+
+
+def test_bm25_index_plan_shape(spark):
+    """Pin the build's post-checkpoint exchange structure. The tf
+    checkpoint is the single tokenize pass (its base repartition ran at
+    materialization); downstream, Spark 4's localCheckpoint does NOT
+    preserve partitioning (measured — the LogicalRDD scan comes back
+    with unknown partitioning), so the expected multiset is exactly
+    three doc_id exchanges (join left, dl agg, and the stats branch's
+    dl — the latter two canonically identical, so AQE runs them once
+    via ReusedExchange) and two term exchanges (df_ partial agg +
+    assembly join). A shared explicit repartition
+    was baked off and was SLOWER (26.0 vs 23.9s at 2M docs — the extra
+    round-trip beats the two concurrent AQE-coalesced exchanges it
+    replaces). Any regression that broadcasts the vocabulary shows up
+    as a BroadcastHashJoin."""
+    import re
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 5).cast("string"),
+                 F.lit(" common")).alias("text"),
+    )
+    plan = bm25_index(docs, "doc_id", "text")._jdf.queryExecution() \
+        .executedPlan().toString()
+    parts = sorted(
+        m.group(1).split("#")[0]
+        for m in re.finditer(r"Exchange hashpartitioning\((\w+#\d+)", plan)
+    )
+    assert parts == ["doc_id", "doc_id", "doc_id", "term", "term"]
+    # the vocabulary (term->df) side must NOT be a broadcast build
+    assert "BroadcastHashJoin" not in plan
