@@ -40,6 +40,7 @@ from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.spread import spread_narrow_scan
 from .textstats import TOKEN_REGEX
 
 MERGES_DDL = (
@@ -57,11 +58,16 @@ def word_freq_table(
     t = F.col(text_col)
     if lowercase:
         t = F.lower(t)
+    # spread the cheap text projection BEFORE the tokenize: a
+    # single-file corpus would otherwise run the whole regex pass on
+    # one scan task. Round-robin, not keyed — the groupBy below still
+    # plans its map-side partial agg.
     return (
-        df.select(
-            F.explode(F.regexp_extract_all(t, F.lit(TOKEN_REGEX), 0)).alias(
-                "word"
-            )
+        spread_narrow_scan(df.select(t.alias("__text")))
+        .select(
+            F.explode(
+                F.regexp_extract_all(F.col("__text"), F.lit(TOKEN_REGEX), 0)
+            ).alias("word")
         )
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("n"))
@@ -191,8 +197,13 @@ def encode_bpe(
 
     ranks = {(m["left"], m["right"]): m["rank"] for m in merges}
     pat = _re.compile(TOKEN_REGEX)
+    # the id passes through untouched — carry ITS type (string ids are
+    # as legitimate as longs; a hardcoded `long` would fail mid-job in
+    # the Arrow serializer, after the expensive training pass)
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, learned_tokens int, base_chars int, n_pretokens int"
+        f"{id_col} {id_type}, learned_tokens int, base_chars int,"
+        " n_pretokens int"
     )
 
     def run(batches: Iterator) -> Iterator:
@@ -220,4 +231,9 @@ def encode_bpe(
                  "base_chars": chars, "n_pretokens": pres}
             )
 
-    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+    # narrow-scan spread: a single-file corpus arrives as ONE partition
+    # and the whole merge-replay pass would serialize on one Python
+    # worker — spread the cheap (id, text) projection first
+    return spread_narrow_scan(
+        df.select(id_col, text_col)
+    ).mapInPandas(run, out_schema)

@@ -23,6 +23,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.spread import spread_narrow_scan
+
 
 # ---------------------------------------------------------------- exact
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -378,20 +380,9 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     constant-gram clique hazard, CLAUDE.md): the max_bucket stop-bucket
     cap is the lever, and the quality stage rejects such docs upstream
     in the composed pipelines."""
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    sc = df.sparkSession.sparkContext
-    width = sc.defaultParallelism
-    # narrowness probe: inputFiles() reads the analyzed plan's file
-    # scans without instantiating the RDD lineage (df.rdd pays physical
-    # planning on the driver); a few-file scan is exactly the
-    # one-partition hazard. Over-triggering is benign — the shuffle
-    # moves only the cheap (id, text) projection — so non-file inputs
-    # (ranges, local relations) fall back to the RDD probe.
-    n_files = len(base.inputFiles())
-    if 0 < n_files < width:
-        base = base.repartition(width)
-    elif n_files == 0 and base.rdd.getNumPartitions() < width:
-        base = base.repartition(width)
+    base = spread_narrow_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    )
     return base.select(
         "id", word_ngrams(F.col("text"), n).alias("grams")
     ).filter(F.size("grams") > 0)
@@ -816,7 +807,7 @@ def _sign_bucket(vec_name: str, sign_coords: int):
 
 def embedding_cosine_pairs_blocked(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.3,
-    sign_coords: int = 6,
+    sign_coords: int = 6, bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """APPROXIMATE near-dup pairs: coordinate-sign blocking + exact
     cosine rescore. bucket = packed sign bits of the first `sign_coords`
@@ -824,11 +815,17 @@ def embedding_cosine_pairs_blocked(
     scored. This is the 100 TB candidate-generation path: linear in
     bucket sizes, never all-pairs — and, unlike random-hyperplane dots,
     the bucket is computed with zero float arithmetic, so a DuckDB
-    oracle replicates it bit-for-bit (see entry `embedding_dup_pairs_blocked`)."""
-    base = _vec_base(df, id_col, vec_col)
-    bucket = _sign_bucket("v", sign_coords)
-    a = base.withColumn("bucket", bucket).alias("a")
-    b = base.withColumn("bucket", bucket).alias("b")
+    oracle replicates it bit-for-bit (see entry `embedding_dup_pairs_blocked`).
+
+    `bucketed` = a precomputed (id, v, nrm, bucket) table: semantic_dedupe
+    passes its checkpointed base so the vector scan + norm + bucket run
+    once for the pair join AND its own per-doc rollup."""
+    if bucketed is None:
+        bucketed = _vec_base(df, id_col, vec_col).withColumn(
+            "bucket", _sign_bucket("v", sign_coords)
+        )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
     return (
         a.join(b, "bucket")
         .filter(F.col("a.id") < F.col("b.id"))
@@ -873,11 +870,19 @@ def semantic_dedupe(
     Reference parity: code-index dedupes points by deterministic
     chunk-hash ids (vector_store.py:203-210) — identical embeddings
     collapse; this prunes NEAR-identical embeddings too."""
+    # ONE vector scan: the bucketed base has THREE consumers (the pair
+    # join's a/b sides and the per-doc cell rollup below) and no
+    # exchange of its own for plan branches to share — without
+    # materialization each branch re-scans the embedding table and
+    # re-evaluates norm + sign bucket. localCheckpoint is the repo's
+    # shared-intermediate discipline (same shape as the BM25 tf table);
+    # the block store holds the narrow (id, v, nrm, bucket) projection,
+    # which IS the operator's working set at any scale.
     base = _vec_base(df, id_col, vec_col).withColumn(
-        "cell", _sign_bucket("v", sign_coords)
-    )
+        "bucket", _sign_bucket("v", sign_coords)
+    ).localCheckpoint(eager=True)
     pairs = embedding_cosine_pairs_blocked(
-        df, id_col, vec_col, threshold, sign_coords
+        df, id_col, vec_col, threshold, sign_coords, bucketed=base
     )
     both = pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("nb")).union(
         pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb"))
@@ -888,7 +893,7 @@ def semantic_dedupe(
          .alias("is_semantic_dup"),
     )
     return (
-        base.select("id", "cell")
+        base.select("id", F.col("bucket").alias("cell"))
         .join(nstats, "id", "left")
         .select(
             F.col("id").alias("doc_id"),

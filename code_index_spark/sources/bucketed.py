@@ -35,7 +35,57 @@ is the Spark-native form of that keyed physical layout for JOIN reuse.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
+
+_SPEC_FILE = "_bucket_spec.json"
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def write_bucket_spec(spark: SparkSession, path: str, spec: dict) -> None:
+    """Record the bucket layout next to the files (Hadoop FS, so any
+    scheme works). The spec is the one fact a fresh session cannot
+    recover from the parquet footers — without it, re-registration
+    trusts the caller, and a mismatched declaration silently returns
+    wrong joins (see register_bucketed)."""
+    fs, p = _hadoop_path(spark, path.rstrip("/") + "/" + _SPEC_FILE)
+    out = fs.create(p, True)
+    try:
+        # writeBytes(String): json.dumps default ensure_ascii makes the
+        # payload pure ASCII, so the low-8-bits contract is exact; a
+        # Python bytearray arg would hit py4j's write() overload
+        # ambiguity
+        out.writeBytes(json.dumps(spec, sort_keys=True))
+    finally:
+        out.close()
+
+
+def read_bucket_spec(spark: SparkSession, path: str) -> dict | None:
+    """The spec sidecar written by write_bucketed, or None for stores
+    that predate it (callers then own spec consistency)."""
+    fs, p = _hadoop_path(spark, path.rstrip("/") + "/" + _SPEC_FILE)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        # JVM-side drain: py4j passes byte arrays BY VALUE, so a
+        # readFully into a Python bytearray fills a copy and returns
+        # nothing — commons-io (on Spark's classpath) reads it where
+        # the stream lives
+        jvm = spark.sparkContext._jvm
+        txt = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(txt)
 
 
 def write_bucketed(
@@ -46,6 +96,7 @@ def write_bucketed(
     path: str | None = None,
     sort: bool = True,
     mode: str = "overwrite",
+    extra_spec: dict | None = None,
 ) -> None:
     """Persist `df` as a parquet table bucketed (and by default
     per-bucket sorted) on `key`. The one repartition below is the
@@ -68,6 +119,11 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.mode(mode).saveAsTable(table)
+    if path is not None:
+        spec = {"key": key, "n_buckets": n_buckets, "sort": sort}
+        if extra_spec:
+            spec.update(extra_spec)
+        write_bucket_spec(df.sparkSession, path, spec)
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
@@ -80,9 +136,9 @@ def register_bucketed(
     spark: SparkSession,
     table: str,
     path: str,
-    key: str,
-    n_buckets: int,
-    sort: bool = True,
+    key: str | None = None,
+    n_buckets: int | None = None,
+    sort: bool | None = None,
 ) -> DataFrame:
     """Re-attach the bucket spec to an existing write_bucketed file set
     in a NEW session. saveAsTable records the spec in the session
@@ -97,9 +153,33 @@ def register_bucketed(
         CLUSTERED BY (key) [SORTED BY (key)] INTO n BUCKETS
         LOCATION 'path'
 
-    The caller owns spec consistency: key/n_buckets/sort must match
-    what write_bucketed used — a mismatched declaration makes Spark
-    group by the wrong bucketing and silently return wrong joins."""
+    The spec itself comes from the `_bucket_spec.json` sidecar
+    write_bucketed records next to the files — the one fact the parquet
+    footers cannot recover, and the one a caller must not be trusted to
+    re-declare: a mismatched declaration makes Spark group by the wrong
+    bucketing and silently return wrong joins, so any explicitly-passed
+    key/n_buckets/sort is VALIDATED against the sidecar and a conflict
+    raises instead of registering. For stores that predate the sidecar
+    all three must be passed and the caller owns consistency."""
+    spec = read_bucket_spec(spark, path)
+    if spec is not None:
+        for name, given in (("key", key), ("n_buckets", n_buckets),
+                            ("sort", sort)):
+            if given is not None and given != spec[name]:
+                raise ValueError(
+                    f"bucket spec mismatch for {path}: {name}={given!r} "
+                    f"passed but the store was written with "
+                    f"{name}={spec[name]!r} — re-declaring a different "
+                    f"layout would silently return wrong joins"
+                )
+        key, n_buckets, sort = spec["key"], spec["n_buckets"], spec["sort"]
+    elif key is None or n_buckets is None:
+        raise ValueError(
+            f"no {_SPEC_FILE} sidecar under {path} and no explicit spec: "
+            "pass key and n_buckets matching the original write"
+        )
+    if sort is None:
+        sort = True
     cols = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
         for f in spark.read.parquet(path).schema.fields

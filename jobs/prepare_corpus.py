@@ -24,7 +24,12 @@ ONCE at ingest instead of per run — the redaction join here plans
 with ZERO Exchange nodes (tests/test_jobs_cli.py asserts it). A
 pre-existing DIR/docs is re-attached via register_bucketed (the
 cross-run path: tomorrow's spark-submit has a fresh in-memory
-catalog), so only the FIRST run pays the corpus shuffle.
+catalog), so only the FIRST run pays the corpus shuffle. The store is
+an ingest CACHE of --input: reuse is gated on the recorded input
+signature (file list + sizes + mtimes) and the layout comes from the
+`_bucket_spec.json` sidecar, so a grown/changed corpus dir re-ingests
+instead of silently preparing a stale snapshot, and a drifted
+--n-buckets flag cannot re-declare a wrong bucket spec.
 """
 
 from __future__ import annotations
@@ -44,6 +49,26 @@ def store_tables(bucket_store: str) -> tuple[str, str]:
     shared with the test, which reopens the tables to check the plan."""
     tag = hashlib.md5(bucket_store.encode()).hexdigest()[:8]
     return f"prep_docs_{tag}", f"prep_labels_{tag}"
+
+
+def input_signature(input_path: str) -> str:
+    """Fingerprint of the input dir's data files (relpath, size, mtime):
+    the store-reuse guard. A bucket store is an ingest CACHE of
+    --input — reusing it when the corpus dir has grown or changed would
+    silently prepare yesterday's corpus — so the cached layout is only
+    trusted while this signature matches the one recorded at write
+    time. Local-FS walk, matching the job's os.path store probing."""
+    h = hashlib.md5()
+    for root, dirs, files in sorted(os.walk(input_path)):
+        dirs.sort()
+        for fn in sorted(files):
+            if fn.startswith(("_", ".")):
+                continue
+            full = os.path.join(root, fn)
+            st = os.stat(full)
+            rel = os.path.relpath(full, input_path)
+            h.update(f"{rel}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
 
 
 def main(argv=None) -> None:
@@ -83,18 +108,32 @@ def main(argv=None) -> None:
             write_bucketed,
         )
 
+        from code_index_spark.sources.bucketed import read_bucket_spec
+
         docs_tbl, labels_tbl = store_tables(args.bucket_store)
         docs_path = os.path.join(args.bucket_store, "docs")
         spark.sql(f"DROP TABLE IF EXISTS `{docs_tbl}`")
         spark.sql(f"DROP TABLE IF EXISTS `{labels_tbl}`")
-        if os.path.isdir(docs_path):
-            # cross-run path: the files already have the layout, only
-            # the catalog entry is missing in this fresh session
-            docs = register_bucketed(
-                spark, docs_tbl, docs_path, args.id_col, args.n_buckets)
+        sig = input_signature(args.input)
+        spec = (read_bucket_spec(spark, docs_path)
+                if os.path.isdir(docs_path) else None)
+        if (spec is not None and spec.get("key") == args.id_col
+                and spec.get("input_sig") == sig):
+            # cross-run path: the files already have the layout AND
+            # still reflect --input (signature match); only the catalog
+            # entry is missing in this fresh session. The layout comes
+            # from the sidecar, never the CLI — a --n-buckets drift
+            # cannot re-declare a wrong spec.
+            docs = register_bucketed(spark, docs_tbl, docs_path)
+            n_buckets = spec["n_buckets"]
         else:
+            # first run, or the corpus dir changed since the store was
+            # written: re-ingest (pay the one corpus shuffle) rather
+            # than silently preparing a stale snapshot
+            n_buckets = args.n_buckets
             write_bucketed(spark.read.parquet(args.input), docs_tbl,
-                           args.id_col, args.n_buckets, path=docs_path)
+                           args.id_col, n_buckets, path=docs_path,
+                           extra_spec={"input_sig": sig})
             docs = spark.table(docs_tbl)
     else:
         docs = spark.read.parquet(args.input)
@@ -109,7 +148,10 @@ def main(argv=None) -> None:
         # the bucketed parquet write IS the materialization (no
         # localCheckpoint needed), and the read-back scan carries the
         # bucket spec, so the redaction join below is exchange-free
-        write_bucketed(labels, labels_tbl, "doc_id", args.n_buckets,
+        # the RESOLVED bucket count (sidecar on reuse), never the CLI:
+        # both sides of the redaction join must share it to stay
+        # exchange-free
+        write_bucketed(labels, labels_tbl, "doc_id", n_buckets,
                        path=os.path.join(args.bucket_store, "labels"))
         labels = spark.table(labels_tbl)
     else:
@@ -135,7 +177,7 @@ def main(argv=None) -> None:
         out["bucket_store"] = {"dir": args.bucket_store,
                                "docs_table": docs_tbl,
                                "labels_table": labels_tbl,
-                               "n_buckets": args.n_buckets}
+                               "n_buckets": n_buckets}
     json.dump(out, sys.stdout)
     print()
 

@@ -142,3 +142,51 @@ def test_bm25_index_bucketed_serving_prunes_buckets(spark, tmp_path):
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", old)
         spark.sql("DROP TABLE IF EXISTS b_bm25")
+
+
+def test_register_bucketed_spec_sidecar(spark, two_tables):
+    """The spec travels WITH the files (_bucket_spec.json): a fresh
+    session re-attaches without re-declaring the layout, and an
+    explicit declaration that CONTRADICTS the sidecar raises instead
+    of silently registering a wrong bucketing (the wrong-joins hazard
+    in the register_bucketed docstring)."""
+    from code_index_spark.sources.bucketed import (
+        read_bucket_spec,
+        register_bucketed,
+    )
+
+    a = spark.table("b_docs").inputFiles()[0].rsplit("/", 1)[0]
+    assert read_bucket_spec(spark, a) == {
+        "key": "doc_id", "n_buckets": 8, "sort": True}
+    spark.sql("DROP TABLE b_docs")
+
+    # spec-driven: no layout args at all
+    d = register_bucketed(spark, "b_docs", a)
+    assert d.count() == 500
+
+    spark.sql("DROP TABLE b_docs")
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        register_bucketed(spark, "b_docs", a, "doc_id", 4)
+    with pytest.raises(ValueError, match="key='source'"):
+        register_bucketed(spark, "b_docs", a, "source", 8)
+    # matching explicit args still pass (pre-sidecar call sites)
+    register_bucketed(spark, "b_docs", a, "doc_id", 8)
+
+
+def test_register_bucketed_without_sidecar_requires_spec(spark, tmp_path):
+    """Stores that predate the sidecar: explicit key+n_buckets required
+    (the caller owns consistency), absence raises rather than guessing."""
+    import os
+
+    from code_index_spark.sources.bucketed import register_bucketed
+
+    docs = spark.range(50).select(F.col("id").alias("doc_id"))
+    p = str(tmp_path / "legacy")
+    write_bucketed(docs, "b_legacy", "doc_id", 4, path=p)
+    os.remove(os.path.join(p, "_bucket_spec.json"))
+    spark.sql("DROP TABLE b_legacy")
+    with pytest.raises(ValueError, match="no _bucket_spec.json"):
+        register_bucketed(spark, "b_legacy", p)
+    d = register_bucketed(spark, "b_legacy", p, "doc_id", 4)
+    assert d.count() == 50
+    spark.sql("DROP TABLE IF EXISTS b_legacy")

@@ -258,6 +258,21 @@ def test_prepare_job_bucket_store(spark, tmp_path, capsys):
     prepare_job.main(argv + ["--output", str(tmp_path / "out_b2")])
     capsys.readouterr()
     assert set(spark.table(docs_tbl).inputFiles()) == docs_files
+
+    # grown corpus dir: the input signature no longer matches the
+    # sidecar, so the store RE-INGESTS instead of silently preparing
+    # yesterday's snapshot — the new doc must reach the output
+    spark.createDataFrame(
+        [(9, "the new omega document joins the corpus and is kept today")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(in_dir)
+    prepare_job.main(argv + ["--output", str(tmp_path / "out_b3")])
+    capsys.readouterr()
+    out3_ids = {r["doc_id"] for r in spark.read.parquet(
+        str(tmp_path / "out_b3")).select("doc_id").collect()}
+    assert 9 in out3_ids
+    assert {r["doc_id"] for r in spark.table(docs_tbl)
+            .select("doc_id").collect()} == {0, 1, 2, 3, 4, 9}
     spark.sql(f"DROP TABLE IF EXISTS `{docs_tbl}`")
     spark.sql(f"DROP TABLE IF EXISTS `{labels_tbl}`")
 
