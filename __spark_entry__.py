@@ -415,6 +415,66 @@ def _q_pagerank_mentions(spark, sf_dir):
     )
 
 
+def _q_triangles_comention(spark, sf_dir):
+    """Per-vertex triangle counts over the CONVERSATION-level
+    co-mention graph (the turn-level graph is exactly-2-per-turn by
+    fixture construction, hence triangle-free) — degree-oriented wedge
+    join (arboricity-bounded fanout, no hub blowup); the DuckDB oracle
+    enumerates ordered triangles directly."""
+    from code_index_spark.operators.graphalgo import triangle_counts
+
+    m = _mention_norms(spark, sf_dir).select("conv_id", "norm").distinct()
+    a, b = m.alias("a"), m.alias("b")
+    edges = (
+        a.join(b, "conv_id")
+        .filter(F.col("a.norm") < F.col("b.norm"))
+        .select(
+            F.col("a.norm").alias("src_entity"), F.col("b.norm").alias("dst_entity")
+        )
+        .distinct()
+    )
+    return triangle_counts(edges).orderBy(F.desc("n_triangles"), F.asc("vertex"))
+
+
+def _q_neighbor_jaccard_entities(spark, sf_dir):
+    """Structural entity-resolution candidates: vertex pairs whose
+    co-mention neighborhoods overlap at Jaccard >= 0.5 — the
+    graph-structural complement to the textual similarity join."""
+    from code_index_spark.operators.graphalgo import neighbor_jaccard_pairs
+
+    edges = _mention_edges(spark, sf_dir)
+    return neighbor_jaccard_pairs(edges, min_sim=0.5).orderBy("ent_a", "ent_b")
+
+
+def _q_pmi_comention_edges(spark, sf_dir):
+    """PMI-weighted co-occurrence edges over the distinct mention
+    stream — one ln + round(6) per pair, exact integer counts, so the
+    DuckDB oracle replicates values bit-for-bit."""
+    from code_index_spark.operators.graphalgo import pmi_edges
+
+    m = _mention_norms(spark, sf_dir)
+    return pmi_edges(m).orderBy("ent_a", "ent_b")
+
+
+def _q_khop_entities(spark, sf_dir):
+    """2-hop BFS neighborhoods from the three lexicographically first
+    entities — frontier joins with per-round lineage truncation; the
+    oracle unrolls the same two hops as anti-joined CTEs."""
+    from code_index_spark.operators.graphalgo import khop_neighbors
+
+    edges = _mention_edges(spark, sf_dir)
+    seeds = (
+        _mention_norms(spark, sf_dir)
+        .select("norm").distinct().orderBy("norm").limit(3)
+        .select(F.col("norm").alias("seed"))
+    )
+    return (
+        khop_neighbors(edges, seeds, k=2)
+        .select("seed", "vertex", F.col("hop").cast("int").alias("hop"))
+        .orderBy("seed", "hop", "vertex")
+    )
+
+
 def _q_lsh_bucketed_topk(spark, sf_dir):
     """Sub-linear ANN: coordinate-sign bucketing (an LSH family with
     zero float arithmetic in the bucket key, so the oracle replicates it
@@ -1880,6 +1940,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_rollup_named": _q_edge_rollup_named,
         "comention_degree": _q_comention_degree,
         "pagerank_mentions": _q_pagerank_mentions,
+        "triangles_comention": _q_triangles_comention,
+        "neighbor_jaccard_entities": _q_neighbor_jaccard_entities,
+        "pmi_comention_edges": _q_pmi_comention_edges,
+        "khop_entities": _q_khop_entities,
         "windowed_triple_counts": _q_windowed_triple_counts,
         "first_mentions_batch": _q_first_mentions_batch,
         "conv_profiles": _q_conv_profiles,
@@ -3094,6 +3158,89 @@ def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
     )
 
 
+def _triangles_oracle() -> str:
+    """Ordered-triple triangle enumeration (x<y<z ⇒ exactly one row per
+    triangle), then per-corner counts — DuckDB twin of the oriented
+    wedge join in operators/graphalgo.triangle_counts."""
+    return (
+        _mention_graph_ctes()
+        + ", cmemb AS (SELECT DISTINCT conv_id, norm FROM mentions)"
+        ", cedges AS (SELECT DISTINCT a.norm AS ea, b.norm AS eb"
+        "   FROM cmemb a JOIN cmemb b"
+        "   ON a.conv_id = b.conv_id AND a.norm < b.norm)"
+        ", tri AS (SELECT e1.ea AS x, e1.eb AS y, e2.eb AS z"
+        "   FROM cedges e1 JOIN cedges e2 ON e2.ea = e1.eb"
+        "   JOIN cedges e3 ON e3.ea = e1.ea AND e3.eb = e2.eb) "
+        "SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles FROM ("
+        " SELECT x AS vertex FROM tri"
+        " UNION ALL SELECT y FROM tri"
+        " UNION ALL SELECT z FROM tri"
+        ") GROUP BY vertex ORDER BY n_triangles DESC, vertex ASC"
+    )
+
+
+def _neighbor_jaccard_oracle(min_sim: float = 0.5) -> str:
+    """Common-neighbor wedge join + degree join; jaccard is one double
+    division of exact integers rounded to 6 on both engines."""
+    return (
+        _mention_graph_ctes()
+        + ", und AS (SELECT ea AS v, eb AS n FROM edges"
+        "   UNION SELECT eb, ea FROM edges)"
+        ", deg AS (SELECT v, count(*) AS deg FROM und GROUP BY v)"
+        ", cm2 AS (SELECT a.v AS ent_a, b.v AS ent_b, count(*) AS cn"
+        "   FROM und a JOIN und b ON a.n = b.n AND a.v < b.v"
+        "   GROUP BY a.v, b.v) "
+        "SELECT ent_a, ent_b, CAST(cn AS BIGINT) AS common_neighbors,"
+        " round(cn / (d1.deg + d2.deg - cn), 6) AS jaccard "
+        "FROM cm2 JOIN deg d1 ON d1.v = ent_a JOIN deg d2 ON d2.v = ent_b "
+        f"WHERE round(cn / (d1.deg + d2.deg - cn), 6) >= {min_sim} "
+        "ORDER BY ent_a, ent_b"
+    )
+
+
+def _pmi_oracle() -> str:
+    """PMI over the shared distinct mention stream: exact integer
+    counts, single ln, round(6) — bit-replicable across engines."""
+    return (
+        _mention_graph_ctes()
+        + ", nu AS (SELECT count(*) AS n_units FROM"
+        "   (SELECT DISTINCT conv_id, turn_idx FROM mentions))"
+        ", ent AS (SELECT norm, count(*) AS n_ent FROM mentions GROUP BY norm)"
+        ", pr AS (SELECT a.norm AS ent_a, b.norm AS ent_b, count(*) AS n_co"
+        "   FROM mentions a JOIN mentions b"
+        "    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx"
+        "    AND a.norm < b.norm"
+        "   GROUP BY a.norm, b.norm) "
+        "SELECT ent_a, ent_b, CAST(n_co AS BIGINT) AS n_co,"
+        " round(ln((n_co * nu.n_units) / (na.n_ent * nb.n_ent)), 6) AS pmi "
+        "FROM pr CROSS JOIN nu"
+        " JOIN ent na ON na.norm = ent_a"
+        " JOIN ent nb ON nb.norm = ent_b "
+        "ORDER BY ent_a, ent_b"
+    )
+
+
+def _khop_oracle(n_seeds: int = 3) -> str:
+    """Two BFS hops unrolled as CTEs: hop 2 anti-joins hop 1 and the
+    seed (minimal hop distance), seeds = first n norms."""
+    return (
+        _mention_graph_ctes()
+        + ", und AS (SELECT ea AS src, eb AS dst FROM edges"
+        "   UNION SELECT eb, ea FROM edges)"
+        ", seeds AS (SELECT norm AS seed FROM"
+        f"   (SELECT DISTINCT norm FROM mentions ORDER BY norm LIMIT {n_seeds}))"
+        ", h1 AS (SELECT DISTINCT s.seed, u.dst AS vertex"
+        "   FROM seeds s JOIN und u ON u.src = s.seed)"
+        ", h2 AS (SELECT DISTINCT h.seed, u.dst AS vertex"
+        "   FROM h1 h JOIN und u ON u.src = h.vertex"
+        "   WHERE u.dst <> h.seed AND NOT EXISTS"
+        "    (SELECT 1 FROM h1 x WHERE x.seed = h.seed AND x.vertex = u.dst)) "
+        "SELECT seed, vertex, CAST(1 AS INT) AS hop FROM h1 "
+        "UNION ALL SELECT seed, vertex, CAST(2 AS INT) AS hop FROM h2 "
+        "ORDER BY seed, hop, vertex"
+    )
+
+
 _SEARCH_ORACLE_TMPL = """
 WITH triples AS ({triples_rows}),
 hits AS (
@@ -3247,6 +3394,10 @@ def oracle_sql() -> dict[str, str]:
         "windowed_triple_counts": ow(_windowed_triples_oracle()),
         "comention_degree": ow(_degree_oracle()),
         "pagerank_mentions": ow(_pagerank_oracle(5, 0.85)),
+        "triangles_comention": ow(_triangles_oracle()),
+        "neighbor_jaccard_entities": ow(_neighbor_jaccard_oracle(0.5)),
+        "pmi_comention_edges": ow(_pmi_oracle()),
+        "khop_entities": ow(_khop_oracle(3)),
         "multi_corpus_union": ow(
             ", evt AS (" + TRANSCRIPTS_EVENTS_SQL + ") "
             "SELECT source, role, count(*) AS n_turns,"

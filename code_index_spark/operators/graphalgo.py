@@ -81,3 +81,191 @@ def pagerank(
         if delta is not None and delta < tol:
             break
     return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle participation counts, degree-oriented.
+
+    KG-construction use: triangle density separates genuinely cohesive
+    entity neighborhoods from hub noise (the reference exposes only
+    degree-style collection stats, search_service.py; triangles are the
+    standard next analytic over the same materialized edge table).
+
+    Scale shape: every edge is oriented from its lower-(degree, id)
+    endpoint to the higher one, so each triangle has exactly ONE apex
+    vertex with both out-spokes — wedge fanout is bounded by the
+    graph's arboricity instead of the max hub degree (the classic
+    MapReduce triangle trick; a 10^6-degree hub emits ~0 wedges
+    instead of 10^12). Two equi-joins, no cartesian: wedges shuffle on
+    the apex, closure probes the (lo, hi) edge set.
+    """
+    e = (
+        edges.select(
+            F.least("src_entity", "dst_entity").alias("a"),
+            F.greatest("src_entity", "dst_entity").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v")).unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v").agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("degb"))
+    lower_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a").join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    # spoke pair ordered by vertex id so the closing edge matches e's
+    # (a < b) key exactly once per triangle
+    wedges = (
+        o1.join(o2, F.col("o1.u") == F.col("o2.u"))
+        .filter(F.col("o1.w") < F.col("o2.w"))
+        .select(F.col("o1.u").alias("apex"), F.col("o1.w").alias("v1"), F.col("o2.w").alias("v2"))
+    )
+    tri = wedges.join(e, (wedges.v1 == e.a) & (wedges.v2 == e.b)).select("apex", "v1", "v2")
+    corners = (
+        tri.select(F.col("apex").alias("vertex"))
+        .unionAll(tri.select(F.col("v1").alias("vertex")))
+        .unionAll(tri.select(F.col("v2").alias("vertex")))
+    )
+    return corners.groupBy("vertex").agg(F.count("*").alias("n_triangles"))
+
+
+def khop_neighbors(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
+    """(seed, vertex, hop): minimal hop distance 1..k from each seed.
+
+    Frontier BFS as iterative DataFrame joins: per round the frontier
+    joins the adjacency list and anti-joins the visited set; lineage is
+    truncated per round (localCheckpoint) like the CC/PageRank loops so
+    a deep k never accretes a plan tree. The frontier is tiny relative
+    to the graph — Catalyst/AQE broadcasts it into the adjacency join,
+    so each hop is one shuffle-free probe of the (pre-shuffled)
+    adjacency plus a small distinct.
+
+    `seeds` must have a single column `seed`.
+    """
+    und = (
+        edges.select(F.col("src_entity").alias("src"), F.col("dst_entity").alias("dst"))
+        .union(edges.select(F.col("dst_entity").alias("src"), F.col("src_entity").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = seeds.select("seed", F.col("seed").alias("vertex")).distinct()
+    visited = frontier.withColumn("hop", F.lit(0)).localCheckpoint(eager=True)
+    for i in range(1, k + 1):
+        nxt = (
+            frontier.join(und, frontier.vertex == und.src)
+            .select("seed", F.col("dst").alias("vertex"))
+            .distinct()
+            .join(visited.select("seed", "vertex"), ["seed", "vertex"], "left_anti")
+            .withColumn("hop", F.lit(i))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("seed", "vertex")
+    return visited.filter(F.col("hop") >= 1)
+
+
+def neighbor_jaccard_pairs(
+    edges: DataFrame, min_sim: float = 0.5, hub_cap: int | None = None
+) -> DataFrame:
+    """Structural entity-resolution pairs: vertex pairs whose neighbor
+    sets overlap with Jaccard >= min_sim.
+
+    Two entities that co-occur with the same neighborhood are
+    resolution candidates even when their SURFACES don't match — the
+    graph-structural complement to link.py's textual similarity join
+    (reference resolves by exact id only, file_processing_helpers.py).
+
+    Shape: wedge self-join on the shared neighbor (each common
+    neighbor contributes one pre-aggregated row), then a |V|-sized
+    degree join. `hub_cap` drops shared-neighbor vertices with degree
+    above the cap before the wedge join — the same stop-bucket lever
+    as minhash's max_bucket: a 10^6-degree hub contributes 10^12 wedge
+    rows but near-zero Jaccard evidence (its presence in both sets is
+    uninformative), so capping bounds the worst task at a documented
+    recall cost. Default None = exact (the oracle-parity mode).
+    """
+    und = (
+        edges.select(F.col("src_entity").alias("v"), F.col("dst_entity").alias("n"))
+        .union(edges.select(F.col("dst_entity").alias("v"), F.col("src_entity").alias("n")))
+        .filter(F.col("v") != F.col("n"))
+        .distinct()
+    )
+    deg = und.groupBy("v").agg(F.count("*").alias("deg"))
+    adj = und
+    if hub_cap is not None:
+        nbr_deg = deg.select(F.col("v").alias("n"), F.col("deg").alias("ndeg"))
+        adj = und.join(nbr_deg, "n").filter(F.col("ndeg") <= hub_cap).select("v", "n")
+    a = adj.alias("a")
+    b = adj.alias("b")
+    common = (
+        a.join(b, F.col("a.n") == F.col("b.n"))
+        .filter(F.col("a.v") < F.col("b.v"))
+        .groupBy(F.col("a.v").alias("ent_a"), F.col("b.v").alias("ent_b"))
+        .agg(F.count("*").alias("common_neighbors"))
+    )
+    d1 = deg.select(F.col("v").alias("ent_a"), F.col("deg").alias("deg_a"))
+    d2 = deg.select(F.col("v").alias("ent_b"), F.col("deg").alias("deg_b"))
+    sim = F.col("common_neighbors") / (
+        F.col("deg_a") + F.col("deg_b") - F.col("common_neighbors")
+    )
+    return (
+        common.join(d1, "ent_a").join(d2, "ent_b")
+        .withColumn("jaccard", F.round(sim, 6))
+        .filter(F.col("jaccard") >= min_sim)
+        .select("ent_a", "ent_b", "common_neighbors", "jaccard")
+    )
+
+
+def pmi_edges(mentions: DataFrame) -> DataFrame:
+    """PMI-weighted co-occurrence edges over a distinct mention stream
+    (conv_id, turn_idx, norm).
+
+    Raw co-occurrence counts over-weight globally frequent entities;
+    pointwise mutual information  ln(P(x,y) / (P(x)P(y))) =
+    ln(n_xy * N / (n_x * n_y))  is the standard KG edge re-weighting
+    (Church & Hanks 1990). All counts are exact integers aggregated
+    distributed; the single ln + round(6) replicates bit-for-bit in
+    the DuckDB oracle (one double op each, no float summation).
+
+    Shape: one groupBy for per-entity counts (|V| rows), one wedge
+    self-join + groupBy for pair counts, then a broadcast-sized join
+    of the entity counts onto the pairs. N (distinct mention units)
+    rides along as a broadcast scalar, not a driver collect.
+    """
+    m = mentions.select("conv_id", "turn_idx", "norm").distinct()
+    n_units = m.select("conv_id", "turn_idx").distinct().agg(
+        F.count("*").alias("n_units")
+    )
+    ent = m.groupBy("norm").agg(F.count("*").alias("n_ent"))
+    a = m.alias("a")
+    b = m.alias("b")
+    pairs = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("a.norm") < F.col("b.norm"))
+        .groupBy(F.col("a.norm").alias("ent_a"), F.col("b.norm").alias("ent_b"))
+        .agg(F.count("*").alias("n_co"))
+    )
+    na = ent.select(F.col("norm").alias("ent_a"), F.col("n_ent").alias("n_a"))
+    nb = ent.select(F.col("norm").alias("ent_b"), F.col("n_ent").alias("n_b"))
+    pmi = F.log(
+        (F.col("n_co") * F.col("n_units")) / (F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        pairs.join(na, "ent_a").join(nb, "ent_b")
+        .join(F.broadcast(n_units))
+        .select("ent_a", "ent_b", "n_co", F.round(pmi, 6).alias("pmi"))
+    )
