@@ -83,7 +83,9 @@ def pagerank(
     return ranks
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame, broadcast_threshold: int = 20_000_000
+) -> DataFrame:
     """Per-vertex triangle participation counts, degree-oriented.
 
     KG-construction use: triangle density separates genuinely cohesive
@@ -96,8 +98,19 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     vertex with both out-spokes — wedge fanout is bounded by the
     graph's arboricity instead of the max hub degree (the classic
     MapReduce triangle trick; a 10^6-degree hub emits ~0 wedges
-    instead of 10^12). Two equi-joins, no cartesian: wedges shuffle on
-    the apex, closure probes the (lo, hi) edge set.
+    instead of 10^12). Two equi-joins, no cartesian.
+
+    The closure join is the dominant exchange: the wedge set is
+    ~arboricity× larger than the edge set, and a sort-merge closure
+    join re-shuffles ALL wedges by (v1, v2). When the distinct edge
+    set is small enough (measured: the sf1 KG rollup saturates at
+    1.39M edges — vocab-scale, corpus-size-invariant), broadcasting it
+    keeps the wedges where they were produced: zero wedge exchange,
+    the only remaining shuffles are edge-sized. Auto-decided from the
+    measured edge count (NOT a forced hint — an unexpectedly huge edge
+    set degrades to the sort-merge plan instead of OOMing the driver);
+    the distinct edge set is checkpointed since three consumers (degree
+    count, orientation join, closure probe) reuse it.
     """
     e = (
         edges.select(
@@ -106,7 +119,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    n_e = e.count()
     deg = (
         e.select(F.col("a").alias("v")).unionAll(e.select(F.col("b").alias("v")))
         .groupBy("v").agg(F.count("*").alias("deg"))
@@ -132,7 +147,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .filter(F.col("o1.w") < F.col("o2.w"))
         .select(F.col("o1.u").alias("apex"), F.col("o1.w").alias("v1"), F.col("o2.w").alias("v2"))
     )
-    tri = wedges.join(e, (wedges.v1 == e.a) & (wedges.v2 == e.b)).select("apex", "v1", "v2")
+    closure = F.broadcast(e) if n_e <= broadcast_threshold else e
+    tri = wedges.join(
+        closure, (wedges.v1 == closure.a) & (wedges.v2 == closure.b)
+    ).select("apex", "v1", "v2")
     corners = (
         tri.select(F.col("apex").alias("vertex"))
         .unionAll(tri.select(F.col("v1").alias("vertex")))
