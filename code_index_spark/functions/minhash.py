@@ -112,12 +112,22 @@ def minhash_bands(
         return F.transform(F.col(grams_col), lambda g: F.md5(F.concat(g, suffix)))
 
     def _half_min(p: int, pos: int):
-        return F.array_min(
-            F.transform(
-                F.col(f"_md{p}"),
-                lambda mcol: F.conv(F.substring(mcol, pos, 15), 16, 10).cast("long"),
-            )
-        )
+        # min over the 15-char hex substrings FIRST, one conv per row
+        # after (round 6): all md5 substrings are equal-length lowercase
+        # hex, whose lexicographic order equals their numeric order, so
+        # array_min on the strings picks the same element — and the
+        # base-16 parse runs num_tables times per row instead of
+        # num_tables × |grams| times. Values are bit-identical (the
+        # DuckDB twin min-aggregates the parsed BIGINTs; same result).
+        return F.conv(
+            F.array_min(
+                F.transform(
+                    F.col(f"_md{p}"),
+                    lambda mcol: F.substring(mcol, pos, 15),
+                )
+            ),
+            16, 10,
+        ).cast("long")
 
     n_digests = (m + 1) // 2
     df = df.withColumns({f"_md{p}": _digest_expr(p) for p in range(n_digests)})

@@ -344,10 +344,19 @@ def remove_duplicated_passages(
     joined = base.join(cov, "doc_id", "left").withColumn(
         "covered", F.coalesce(F.col("covered"), F.array().cast("array<int>"))
     )
-    kept = F.filter(
-        F.col("words"),
-        lambda x, i: ~F.array_contains(F.col("covered"), (i + 1).cast("int")),
+    # kept positions via ONE hash-set difference (round-6 de-quadratic,
+    # VERDICT #2): the previous per-token array_contains(covered, i)
+    # made the cleanup O(n_tokens × n_removed) per doc — ~10¹⁰
+    # comparisons for one heavily-duplicated 100k-token doc, the exact
+    # doc shape this operator targets. array_except builds a hash set
+    # over `covered` once, so this is O(n_tokens + n_removed); it
+    # preserves the first array's order, so surviving tokens stay in
+    # position order and the joined text is unchanged.
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1), F.greatest(F.col("n_tokens"), F.lit(1))),
+        F.col("covered"),
     )
+    kept = F.transform(kept_pos, lambda p: F.element_at(F.col("words"), p))
     return joined.select(
         "doc_id",
         F.col("n_tokens").cast("int").alias("n_tokens"),

@@ -109,10 +109,89 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return out
 
 
+# --- restructured execution of TRANSCRIPTS_SQL (round 6) ------------
+# The SQL above is the SEMANTIC definition (and the oracle text — it
+# must stay byte-identical). Executed as written, Catalyst builds the
+# ~1.3 KB text strings on the MAP side of the window exchange — i.e.
+# on the parquet scan, which for a single smallish file is ONE task —
+# and then shuffles the full wide text (measured 449.9 MiB for 600k
+# rows at sf0.1, vs ~30 MB of narrow lineitem columns). The builder
+# below computes the identical rows with the guide-§8 shape: shuffle
+# the narrow proxy first, attach the heavy payload after.
+#   1. project lineitem to the 8 needed columns and repartition by
+#      l_orderkey at session shuffle width (the one data exchange —
+#      same key and width as the window exchange it replaces);
+#   2. run the SAME row_number window (its ClusteredDistribution is
+#      satisfied by the repartition ⇒ no second exchange);
+#   3. broadcast-join documents/part and build the text AFTER the
+#      shuffle, so string construction runs at full width and the
+#      wide column never crosses the wire.
+# The SELECT list is derived from TRANSCRIPTS_SQL by substring
+# surgery (asserted below), so the text expression cannot drift from
+# the oracle; tests/test_tpch_view.py pins row-for-row equality with
+# spark.sql(TRANSCRIPTS_SQL). Join totality (every lineitem row
+# matches exactly one documents and one part row — so numbering
+# before vs after the join is identical) holds by construction of the
+# testdata: doc_id is contiguous 0..count-1 (the join key is `% count`)
+# and p_partkey is the unique TPC-H part key.
+
+_WINDOW_TURN_IDX = """CAST(row_number() OVER (
+            PARTITION BY l.l_orderkey
+            ORDER BY l.l_linenumber, l.l_partkey, l.l_suppkey) - 1 AS INT)
+         AS turn_idx"""
+
+_FROM_CLAUSE = """FROM (SELECT *,
+             (l_partkey * 131 + l_linenumber) %
+               (SELECT COUNT(*) FROM documents) AS _doc
+      FROM lineitem) l
+JOIN documents d ON d.doc_id = l._doc
+JOIN part p ON p.p_partkey = l.l_partkey"""
+
+assert _WINDOW_TURN_IDX in TRANSCRIPTS_SQL, "window expr drifted from TRANSCRIPTS_SQL"
+assert _FROM_CLAUSE in TRANSCRIPTS_SQL, "FROM clause drifted from TRANSCRIPTS_SQL"
+
+# narrow windowed lineitem: same window + same _doc expression, over a
+# pre-spread projection registered as _li_spread
+_LI_WIN_SQL = """
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       l_returnflag, l_linestatus, l_shipdate,
+       CAST(row_number() OVER (
+            PARTITION BY l_orderkey
+            ORDER BY l_linenumber, l_partkey, l_suppkey) - 1 AS INT) AS _ti,
+       (l_partkey * 131 + l_linenumber) %
+         (SELECT COUNT(*) FROM documents) AS _doc
+FROM _li_spread
+"""
+
+_TRANSCRIPTS_RESTRUCTURED_SQL = TRANSCRIPTS_SQL.replace(
+    _WINDOW_TURN_IDX, "l._ti AS turn_idx"
+).replace(
+    _FROM_CLAUSE,
+    "FROM _li_win l\n"
+    "JOIN documents d ON d.doc_id = l._doc\n"
+    "JOIN part p ON p.p_partkey = l.l_partkey",
+)
+
+_LI_COLS = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_returnflag", "l_linestatus", "l_shipdate",
+)
+
+
 def derived_transcripts(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """The transcript-shaped view over lineitem × documents."""
-    load_tables(spark, sf_dir)
-    df = spark.sql(TRANSCRIPTS_SQL)
+    """The transcript-shaped view over lineitem × documents.
+
+    Rows are identical to spark.sql(TRANSCRIPTS_SQL) (pinned by
+    tests/test_tpch_view.py); the physical plan shuffles only the
+    narrow lineitem columns and builds the wide text post-exchange —
+    see the restructuring note above."""
+    tables = load_tables(spark, sf_dir)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tables["lineitem"].select(*_LI_COLS).repartition(
+        width, "l_orderkey"
+    ).createOrReplaceTempView("_li_spread")
+    spark.sql(_LI_WIN_SQL).createOrReplaceTempView("_li_win")
+    df = spark.sql(_TRANSCRIPTS_RESTRUCTURED_SQL)
     df.createOrReplaceTempView("transcripts")
     return df
 

@@ -46,15 +46,21 @@ def test_extraction_adds_no_shuffle(spark):
     t = derived_transcripts(spark, "/root/testdata/sf0.001")
     view_plan = _plan(t)
     plan = _plan(extract_triples(t))
-    # the view itself owns exactly one data exchange (the turn_idx
-    # row_number window, hash-partitioned by conv — the pipeline's
+    # the view itself owns exactly one data exchange (the narrow
+    # l_orderkey repartition the turn_idx window rides — the pipeline's
     # canonical partitioning); extraction must ride that exchange and
-    # add none of its own
-    main = plan.split("Subquery")[0]
-    view_main = view_plan.split("Subquery")[0]
-    assert main.count("Exchange") == view_main.count("Exchange") == 1
-    assert "hashpartitioning(l_orderkey" in main
-    assert "MapInPandas" in main
+    # add none of its own. Cut at the Subqueries SECTION (the `Subquery
+    # subquery#N` expression marker now appears above the exchange in
+    # the restructured view, so splitting on the bare word would
+    # truncate the main plan). Broadcast exchanges are allowed; data
+    # exchanges are the scale invariant.
+    def data_exchanges(p: str) -> list[str]:
+        main = p.split("===== Subqueries")[0]
+        return re.findall(r"Exchange hashpartitioning\([^)]*\)", main)
+
+    assert len(data_exchanges(plan)) == len(data_exchanges(view_plan)) == 1
+    assert "hashpartitioning(l_orderkey" in data_exchanges(plan)[0]
+    assert "MapInPandas" in plan.split("===== Subqueries")[0]
 
 
 def test_aggregation_partial_before_exchange(spark):
