@@ -389,12 +389,20 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     constant-gram clique hazard, CLAUDE.md): the max_bucket stop-bucket
     cap is the lever, and the quality stage rejects such docs upstream
     in the composed pipelines."""
+    # drop null texts HERE, below the spread: word_ngrams yields >= 1
+    # gram for every NON-null text (sequence(1, greatest(k, 1)) floors
+    # the index range), so the old `size(grams) > 0` filter was exactly
+    # a null-text guard — but written on the computed column it was
+    # pushed below the spread exchange and RE-RAN the whole O(words)
+    # gram build on the narrow (often single-task) scan side, doubling
+    # the gram work and serializing it (measured: 4.4s -> 0.6s for the
+    # sf0.1 shingle stage). The isnotnull form pushes into the parquet
+    # scan for free.
     base = spread_narrow_scan(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     )
-    return base.select(
-        "id", word_ngrams(F.col("text"), n).alias("grams")
-    ).filter(F.size("grams") > 0)
+    return base.select("id", word_ngrams(F.col("text"), n).alias("grams"))
 
 
 def minhash_band_candidates(
@@ -474,8 +482,16 @@ def minhash_lsh_pairs(
         df, id_col, text_col, n, num_hash_tables, shingled=grams,
         max_bucket=max_bucket,
     )
-    a = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
-    b = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
+    # SHUFFLE_HASH on the gram sides (round 6): left to AQE the rescore
+    # broadcasts the whole gram-array table twice (it fits the session's
+    # 64 MB estimate at bench scale) — two serial driver-built hashed
+    # relations of wide array rows, measured 3.2-6.5s vs 1.0-2.0s for
+    # the shuffled hash join at sf0.1. The hint is also the only shape
+    # that survives corpus scale, where the gram table can never
+    # broadcast; both sides hash-shuffle by doc id and AQE still
+    # coalesces/skew-splits the exchanges.
+    a = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("ga")).hint("shuffle_hash")
+    b = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("gb")).hint("shuffle_hash")
     inter = F.size(F.array_intersect("ga", "gb"))
     return (
         cands.join(a, "id_a").join(b, "id_b")
@@ -616,10 +632,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     columns with map-side partial aggregation, so the shuffle moves one
     61-column row per (doc × input-partition), not the tokens.
     Docs with zero tokens produce no signature row."""
+    # spread the narrow (id, text) projection before the explode: a
+    # single-file scan otherwise runs the token explode, 270k md5+conv
+    # hashes AND the 61-column map-side partial aggregation on ONE task
+    # (round 6; same CLAUDE.md rule the shingle/BPE stages follow)
+    base = spread_narrow_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    )
     toks = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        base.select(
+            "id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
         )
         .filter(F.col("tok") != "")
         .select("id", _tok_hash60(F.col("tok")).alias("h"))

@@ -56,12 +56,18 @@ def char_ngrams(col, n: int = 3):
 def mention_surfaces(triples: DataFrame) -> DataFrame:
     """Distinct class-mention surfaces with counts."""
     return (
-        triples.filter(F.col("pred") == "class")
+        # null-surface guard BEFORE the gram build: char_ngrams yields
+        # >= 1 gram for every non-null norm (sequence floor), so the
+        # old `size(grams) > 0` post-filter was exactly an
+        # obj-is-null guard — and written on the computed column it
+        # re-evaluated the whole gram transform a second time inside
+        # the pushed-down Filter (Catalyst substitutes the expression;
+        # no cross-operator subexpression reuse in codegen).
+        triples.filter((F.col("pred") == "class") & F.col("obj").isNotNull())
         .groupBy(F.col("obj").alias("surface"))
         .agg(F.count("*").alias("mention_count"))
         .withColumn("norm", normalize_surface(F.col("surface")))
         .withColumn("grams", char_ngrams(F.col("norm")))
-        .filter(F.size("grams") > 0)
     )
 
 
@@ -114,8 +120,13 @@ def candidate_pairs_lsh(
     ).select(
         F.col("id_a").alias("surface_a"), F.col("id_b").alias("surface_b")
     )
-    ga = surfaces.select(F.col("surface").alias("surface_a"), F.col("grams").alias("ga"))
-    gb = surfaces.select(F.col("surface").alias("surface_b"), F.col("grams").alias("gb"))
+    # SHUFFLE_HASH: same rationale as minhash_lsh_pairs' rescore — the
+    # wide gram-array sides must not be driver-broadcast (serial build,
+    # and impossible at the >10^6-surface scale this path serves)
+    ga = surfaces.select(F.col("surface").alias("surface_a"),
+                         F.col("grams").alias("ga")).hint("shuffle_hash")
+    gb = surfaces.select(F.col("surface").alias("surface_b"),
+                         F.col("grams").alias("gb")).hint("shuffle_hash")
     inter = F.size(F.array_intersect("ga", "gb"))
     return (
         cands.join(ga, "surface_a")

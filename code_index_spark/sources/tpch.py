@@ -151,19 +151,33 @@ assert _WINDOW_TURN_IDX in TRANSCRIPTS_SQL, "window expr drifted from TRANSCRIPT
 assert _FROM_CLAUSE in TRANSCRIPTS_SQL, "FROM clause drifted from TRANSCRIPTS_SQL"
 
 # narrow windowed lineitem: same window + same _doc expression, over a
-# pre-spread projection registered as _li_spread
+# pre-spread projection registered as _li_spread. The window (and the
+# repartition feeding it) key on conv_id = CAST(l_orderkey AS STRING)
+# rather than l_orderkey itself: the cast is injective, so the
+# partitions and the numbering are identical — but conv_id SURVIVES
+# into the view's output columns, so the cached view advertises
+# hashpartitioning(conv_id) and every downstream
+# groupBy(conv_id, ...) / window over conv_id reuses the exchange
+# (build_edges' per-turn collect drops its corpus-sized shuffle —
+# tests/test_plans.py::test_edge_build_reuses_turn_partitioning is now
+# the default pipeline shape, not an opt-in repartition).
 _LI_WIN_SQL = """
-SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+SELECT conv_id, l_partkey, l_suppkey, l_linenumber, l_quantity,
        l_returnflag, l_linestatus, l_shipdate,
        CAST(row_number() OVER (
-            PARTITION BY l_orderkey
+            PARTITION BY conv_id
             ORDER BY l_linenumber, l_partkey, l_suppkey) - 1 AS INT) AS _ti,
        (l_partkey * 131 + l_linenumber) %
          (SELECT COUNT(*) FROM documents) AS _doc
 FROM _li_spread
 """
 
+_CONV_ID_EXPR = "CAST(l.l_orderkey AS STRING) AS conv_id"
+assert _CONV_ID_EXPR in TRANSCRIPTS_SQL, "conv_id expr drifted from TRANSCRIPTS_SQL"
+
 _TRANSCRIPTS_RESTRUCTURED_SQL = TRANSCRIPTS_SQL.replace(
+    _CONV_ID_EXPR, "l.conv_id"
+).replace(
     _WINDOW_TURN_IDX, "l._ti AS turn_idx"
 ).replace(
     _FROM_CLAUSE,
@@ -187,9 +201,11 @@ def derived_transcripts(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Da
     see the restructuring note above."""
     tables = load_tables(spark, sf_dir)
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    tables["lineitem"].select(*_LI_COLS).repartition(
-        width, "l_orderkey"
-    ).createOrReplaceTempView("_li_spread")
+    from pyspark.sql import functions as F
+
+    tables["lineitem"].select(*_LI_COLS).withColumn(
+        "conv_id", F.col("l_orderkey").cast("string")
+    ).repartition(width, "conv_id").createOrReplaceTempView("_li_spread")
     spark.sql(_LI_WIN_SQL).createOrReplaceTempView("_li_win")
     df = spark.sql(_TRANSCRIPTS_RESTRUCTURED_SQL)
     df.createOrReplaceTempView("transcripts")

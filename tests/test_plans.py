@@ -59,7 +59,7 @@ def test_extraction_adds_no_shuffle(spark):
         return re.findall(r"Exchange hashpartitioning\([^)]*\)", main)
 
     assert len(data_exchanges(plan)) == len(data_exchanges(view_plan)) == 1
-    assert "hashpartitioning(l_orderkey" in data_exchanges(plan)[0]
+    assert "hashpartitioning(conv_id" in data_exchanges(plan)[0]
     assert "MapInPandas" in plan.split("===== Subqueries")[0]
 
 

@@ -50,4 +50,7 @@ def test_restructured_view_single_narrow_exchange(spark):
 
     exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", main)
     assert len(exchanges) == 1, exchanges
-    assert "l_orderkey" in exchanges[0]
+    # keyed on conv_id (the injective string cast of l_orderkey), so
+    # the partitioning survives into the output columns and downstream
+    # conv-keyed consumers reuse it
+    assert "conv_id" in exchanges[0]
