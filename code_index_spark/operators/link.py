@@ -157,35 +157,54 @@ def linked_pairs_exact(
     Stop-gram fanout is the scale risk of the exact join: cap with
     functions.skew.frequency_cap on the gram key, and AQE skew-split
     handles the residue."""
-    terms = surfaces.select("surface", F.explode("grams").alias("gram"))
-    df_ = terms.groupBy("gram").agg(F.countDistinct("surface").alias("df"))
+    # the pair stream is keyed on 60-something-bit surface ids, not the
+    # surface STRINGS (round 6): the gram self-join emits ~n²-per-gram
+    # collision rows (4.06M at sf0.1 from 1064 surfaces) and the
+    # (a, b) pair aggregation was hashing/exchanging two ~15-char
+    # strings per row; two longs shuffle ~3× narrower and hash/compare
+    # in O(1). xxhash64(surface) is the same deterministic id
+    # convention canon.connected_components uses for its node ids
+    # (collision odds n²/2⁶⁴ — negligible at the ≤10⁶-surface scale
+    # this exact path serves). The canonical surface_a < surface_b
+    # STRING orientation is restored after the string join via
+    # least/greatest (jaccard and cosine are symmetric).
+    sid = F.xxhash64("surface").alias("sid")
+    terms = surfaces.select(sid, F.explode("grams").alias("gram"))
+    df_ = terms.groupBy("gram").agg(F.countDistinct("sid").alias("df"))
     weighted = (
         terms.join(F.broadcast(df_), "gram")
         .withColumn("w", F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1.0)) + 1.0)
     )
-    stats = weighted.groupBy("surface").agg(
+    stats = weighted.groupBy("sid").agg(
         F.count("*").alias("sz"),
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"),
     )
-    wa = weighted.select(F.col("surface").alias("surface_a"), "gram", F.col("w").alias("wa"))
-    wb = weighted.select(F.col("surface").alias("surface_b"), "gram", F.col("w").alias("wb"))
+    smap = surfaces.select(sid, "surface")
+    wa = weighted.select(F.col("sid").alias("sid_a"), "gram", F.col("w").alias("wa"))
+    wb = weighted.select(F.col("sid").alias("sid_b"), "gram", F.col("w").alias("wb"))
     pair_agg = (
         wa.join(wb, "gram")
-        .filter(F.col("surface_a") < F.col("surface_b"))
-        .groupBy("surface_a", "surface_b")
+        .filter(F.col("sid_a") < F.col("sid_b"))
+        .groupBy("sid_a", "sid_b")
         .agg(F.count("*").alias("inter"), F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
-    sa = stats.select(F.col("surface").alias("surface_a"),
-                      F.col("sz").alias("sa"), F.col("nrm").alias("na"))
-    sb = stats.select(F.col("surface").alias("surface_b"),
-                      F.col("sz").alias("sb"), F.col("nrm").alias("nb"))
+    sa = stats.join(smap, "sid").select(
+        F.col("sid").alias("sid_a"), F.col("surface").alias("surf_a"),
+        F.col("sz").alias("sa"), F.col("nrm").alias("na"))
+    sb = stats.join(smap, "sid").select(
+        F.col("sid").alias("sid_b"), F.col("surface").alias("surf_b"),
+        F.col("sz").alias("sb"), F.col("nrm").alias("nb"))
     return (
-        pair_agg.join(F.broadcast(sa), "surface_a")
-        .join(F.broadcast(sb), "surface_b")
+        pair_agg.join(F.broadcast(sa), "sid_a")
+        .join(F.broadcast(sb), "sid_b")
         .withColumn("jaccard", F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")))
         .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
         .filter((F.col("jaccard") >= min_jaccard) & (F.col("cosine") >= min_cosine))
-        .select("surface_a", "surface_b", "jaccard", "cosine")
+        .select(
+            F.least("surf_a", "surf_b").alias("surface_a"),
+            F.greatest("surf_a", "surf_b").alias("surface_b"),
+            "jaccard", "cosine",
+        )
     )
 
 
