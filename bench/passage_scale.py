@@ -93,10 +93,58 @@ def _scaling(n_docs: int, n_lo: int, trials: int = 3) -> None:
     _update_bench_md(ROOT, None, section)
 
 
+def _pathological() -> None:
+    """Round-6 fixture (VERDICT r5 #2): ONE long doc duplicated in
+    another — the copy's every window is removed, so the token filter
+    sees |covered| ~ n_tokens. The pre-r6 per-token array_contains
+    scan was O(n_tokens x n_removed) per row (quadratic: 80k tokens
+    => 6.4e9 comparisons in ONE task); the array_except form is
+    O(n_tokens). Near-linear wall across the ladder is the evidence."""
+    from pyspark.sql import functions as F
+
+    from code_index_spark.operators.dedupe import remove_duplicated_passages
+    from code_index_spark.session import get_spark
+
+    spark = get_spark(
+        "passage-path", cores=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+    )
+    rows_out = []
+    for n_tok in (5_000, 20_000, 80_000):
+        base = " ".join(f"w{i}" for i in range(n_tok))
+        docs = spark.createDataFrame(
+            [(0, base), (1, base)], "doc_id long, text string"
+        )
+        t0 = time.perf_counter()
+        agg = remove_duplicated_passages(docs, "doc_id", "text").agg(
+            F.sum("n_removed").cast("long").alias("rm")).first()
+        wall = round(time.perf_counter() - t0, 2)
+        rows_out.append((n_tok, wall, agg["rm"]))
+        print(json.dumps({"metric": "passage_pathological",
+                          "n_tokens": n_tok, "wall_sec": wall,
+                          "removed": agg["rm"]}), flush=True)
+    section = (
+        "## Duplicated-passage removal: pathological long-doc fixture\n\n"
+        "(bench/passage_scale.py --pathological: one n-token doc plus a "
+        "byte-identical copy — every window of the copy is removed, so "
+        "the per-doc token filter runs at |covered| ~ n_tokens. The "
+        "round-6 array_except rewrite makes the filter O(n_tokens); the "
+        "previous per-token array_contains scan was O(n_tokens²) on this "
+        "shape.)\n\n"
+        "| n_tokens | wall (s) | removed tokens |\n|---|---|---|\n"
+        + "".join(f"| {n} | {w} | {r} |\n" for n, w, r in rows_out)
+    )
+    from bench.scaling import _update_bench_md
+
+    _update_bench_md(ROOT, None, section)
+
+
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_docs = int(pos[0]) if pos else 600_000
     window = int(pos[1]) if len(pos) > 1 else 8
+    if "--pathological" in sys.argv:
+        _pathological()
+        return
     if "--scaling" in sys.argv:
         idx = sys.argv.index("--scaling")
         n_lo = (int(sys.argv[idx + 1])

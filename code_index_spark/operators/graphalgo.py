@@ -111,6 +111,15 @@ def triangle_counts(
     set degrades to the sort-merge plan instead of OOMing the driver);
     the distinct edge set is checkpointed since three consumers (degree
     count, orientation join, closure probe) reuse it.
+
+    broadcast_threshold is a ROW count: 20M (a, b) long pairs is
+    ~320 MB raw and several-fold more as a hashed relation, so the
+    default assumes this deployment's large-heap single-box driver
+    (8 GB via session.py). On a small-driver cluster size it in bytes
+    instead: rows × ~16 B against a comfortable fraction of driver
+    memory (e.g. pass 2-5M). Over-threshold inputs degrade to the
+    sort-merge closure rather than OOMing; near-threshold inputs on a
+    small heap are the case the caller must size for (r5 ADVICE).
     """
     e = (
         edges.select(

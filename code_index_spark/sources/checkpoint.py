@@ -146,75 +146,73 @@ def run_with_resume(
     directory deleted explicitly (dynamic partition overwrite alone
     never touches a partition absent from the write).
     """
-    prev_mode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # one scan: current per-bucket hashes (≤ n_buckets rows)
-        cur_rows = bucket_hashes(transcripts, n_buckets).collect()
-        done = {
-            r["partition_id"]: r["content_hash"]
-            for r in ckpt.read().filter(F.col("status") == "done").collect()
-        }
-        cur_ids = {r["partition_id"] for r in cur_rows}
-        # reconcile vanished buckets (full-corpus callers only): done but
-        # no longer in the data
-        gone_ids = sorted(set(done) - cur_ids) if reconcile_missing else []
-        for pid in gone_ids:
-            _drop_partition_dir(triples_path, pid)
-        ckpt.delete(gone_ids)
-        pend_rows = [
-            r for r in cur_rows if done.get(r["partition_id"]) != r["content_hash"]
-        ]
-        if not pend_rows:
-            return {"processed_buckets": 0, "triples_written": 0,
-                    "reconciled_buckets": len(gone_ids)}
-        pend_ids = [r["partition_id"] for r in pend_rows]
-        hash_by_pid = {r["partition_id"]: r["content_hash"] for r in pend_rows}
+    # one scan: current per-bucket hashes (≤ n_buckets rows)
+    cur_rows = bucket_hashes(transcripts, n_buckets).collect()
+    done = {
+        r["partition_id"]: r["content_hash"]
+        for r in ckpt.read().filter(F.col("status") == "done").collect()
+    }
+    cur_ids = {r["partition_id"] for r in cur_rows}
+    # reconcile vanished buckets (full-corpus callers only): done but
+    # no longer in the data
+    gone_ids = sorted(set(done) - cur_ids) if reconcile_missing else []
+    for pid in gone_ids:
+        _drop_partition_dir(triples_path, pid)
+    ckpt.delete(gone_ids)
+    pend_rows = [
+        r for r in cur_rows if done.get(r["partition_id"]) != r["content_hash"]
+    ]
+    if not pend_rows:
+        return {"processed_buckets": 0, "triples_written": 0,
+                "reconciled_buckets": len(gone_ids)}
+    pend_ids = [r["partition_id"] for r in pend_rows]
+    hash_by_pid = {r["partition_id"]: r["content_hash"] for r in pend_rows}
 
-        todo = with_partition_id(transcripts, n_buckets).filter(
-            F.col("partition_id").isin(pend_ids)
-        )
-        triples = extract_fn(todo).withColumn(
-            "partition_id", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
-        )
-        # drop every pending bucket's stale partition BEFORE the write: a
-        # dynamic-partition overwrite never touches a partition absent
-        # from the new data, so a bucket that now yields zero triples
-        # would otherwise keep its previous rows forever. Crash-safe:
-        # these buckets are only marked done after the write succeeds, so
-        # a crash in between just reprocesses them on resume.
-        for pid in pend_ids:
-            _drop_partition_dir(triples_path, pid)
-        (
-            triples.write.mode("overwrite")
-            .partitionBy("partition_id")
-            .parquet(triples_path)
-        )
-        counts = {
-            r["partition_id"]: r["cnt"]
-            for r in spark.read.parquet(triples_path)
-            .filter(F.col("partition_id").isin(pend_ids))
-            .groupBy("partition_id")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        }
-        ckpt_rows = spark.createDataFrame(
-            [
-                (pid, hash_by_pid[pid], counts.get(pid, 0), "done")
-                for pid in pend_ids
-            ],
-            "partition_id int, content_hash long, triple_count long, status string",
-        ).withColumn("updated_at", F.current_timestamp())
-        ckpt.upsert(ckpt_rows)
-        return {
-            "processed_buckets": len(pend_ids),
-            "triples_written": sum(counts.values()),
-            "reconciled_buckets": len(gone_ids),
-        }
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    todo = with_partition_id(transcripts, n_buckets).filter(
+        F.col("partition_id").isin(pend_ids)
+    )
+    triples = extract_fn(todo).withColumn(
+        "partition_id", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    )
+    # drop every pending bucket's stale partition BEFORE the write: a
+    # dynamic-partition overwrite never touches a partition absent
+    # from the new data, so a bucket that now yields zero triples
+    # would otherwise keep its previous rows forever. Crash-safe:
+    # these buckets are only marked done after the write succeeds, so
+    # a crash in between just reprocesses them on resume.
+    for pid in pend_ids:
+        _drop_partition_dir(triples_path, pid)
+    (
+        # writer-scoped dynamic overwrite (round 6, VERDICT r5 #1):
+        # the option overrides spark.sql.sources.partitionOverwriteMode
+        # for THIS write only — no session-conf set/restore to race a
+        # concurrent writer's finally block
+        triples.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("partition_id")
+        .parquet(triples_path)
+    )
+    counts = {
+        r["partition_id"]: r["cnt"]
+        for r in spark.read.parquet(triples_path)
+        .filter(F.col("partition_id").isin(pend_ids))
+        .groupBy("partition_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    ckpt_rows = spark.createDataFrame(
+        [
+            (pid, hash_by_pid[pid], counts.get(pid, 0), "done")
+            for pid in pend_ids
+        ],
+        "partition_id int, content_hash long, triple_count long, status string",
+    ).withColumn("updated_at", F.current_timestamp())
+    ckpt.upsert(ckpt_rows)
+    return {
+        "processed_buckets": len(pend_ids),
+        "triples_written": sum(counts.values()),
+        "reconciled_buckets": len(gone_ids),
+    }
 
 
 def _drop_partition_dir(triples_path: str, pid: int) -> None:

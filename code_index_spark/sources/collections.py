@@ -108,12 +108,13 @@ def prune_collection(spark: SparkSession, name: str, predicate) -> int:
     keep = keep.localCheckpoint(eager=True)  # read fully before overwrite
     surviving = {r["bucket"] for r in keep.select("bucket").distinct().collect()}
     loc = _table_location(spark, name)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        keep.write.mode("overwrite").insertInto(name)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # writer-scoped dynamic overwrite (round 6, VERDICT r5 #1): the
+    # DataFrameWriter option overrides the session conf for this write
+    # only, so two concurrent writers on one session can no longer race
+    # a try/finally restore
+    keep.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).insertInto(name)
     for b in set(hit_buckets) - surviving:
         shutil.rmtree(os.path.join(loc, f"bucket={b}"), ignore_errors=True)
     spark.catalog.refreshTable(name)
