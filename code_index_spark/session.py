@@ -41,8 +41,19 @@ def get_spark(
         # --- Arrow: pandas UDFs ship columnar batches, never rows ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
-        # --- scan sizing: ~128MB splits as on a production cluster ---
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # --- scan sizing ---
+        # 32 MB splits by default (round 6): the testdata corpora are
+        # SINGLE parquet files (11 MB at sf0.1, ~110 MB at a 10x scale
+        # factor), and a 128 MB split turns every scan — and the map
+        # side of every first shuffle — into ONE task regardless of
+        # core count. 32 MB keeps a single-file input scanning at
+        # multi-core width as soon as the file (and its row-group
+        # layout) allows, while still packing small files
+        # (openCostInBytes unchanged). Parameterised: a production
+        # cluster reading many large files should raise this back to
+        # 128m-1g (guide §6) via SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # throughput GC: at 32 in-JVM task threads the default G1 caps
         # codegen'd string-heavy stages (measured: catalyst extraction
