@@ -65,7 +65,12 @@ if src.startswith("synth:"):
     )
 else:
     edges = spark.read.parquet(src + "/edges").localCheckpoint(eager=True)
-n_edges = edges.count()
+# count the DISTINCT canonical pair set the operators actually join
+# (r5 ADVICE #3: the raw count includes duplicate (src, dst) hash
+# collisions that the operators' internal .distinct() removes)
+n_edges = (edges.select(F.least("src_entity", "dst_entity"),
+                        F.greatest("src_entity", "dst_entity"))
+           .distinct().count())
 
 def run():
     t = triangle_counts(edges).agg(
@@ -115,7 +120,8 @@ def _scaling(n_lo: int, synth_edges: int | None, trials: int = 3) -> None:
             "The data-bound case: a graph big enough that the wedge "
             "joins dominate scheduling overhead."
         )
-        title = "## Graph analytics scaling, data-bound (N vs 4N)\n\n"
+        title = ("## Graph analytics scaling, data-bound "
+                 "(script run, N vs 4N)\n\n")
     else:
         intro = (
             f"({lo['n_edges']} rollup edges, bench/graph_analytics_scale.py"

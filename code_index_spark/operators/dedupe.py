@@ -482,16 +482,19 @@ def minhash_lsh_pairs(
         df, id_col, text_col, n, num_hash_tables, shingled=grams,
         max_bucket=max_bucket,
     )
-    # SHUFFLE_HASH on the gram sides (round 6): left to AQE the rescore
+    # MERGE hint on the gram sides (round 6): left to AQE the rescore
     # broadcasts the whole gram-array table twice (it fits the session's
     # 64 MB estimate at bench scale) — two serial driver-built hashed
-    # relations of wide array rows, measured 3.2-6.5s vs 1.0-2.0s for
-    # the shuffled hash join at sf0.1. The hint is also the only shape
-    # that survives corpus scale, where the gram table can never
-    # broadcast; both sides hash-shuffle by doc id and AQE still
-    # coalesces/skew-splits the exchanges.
-    a = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("ga")).hint("shuffle_hash")
-    b = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("gb")).hint("shuffle_hash")
+    # relations of wide array rows, measured 3.2-6.5s at sf0.1 vs
+    # ~0.8-1.1s for either shuffled join. Between the shuffled
+    # strategies, sort-merge is the one that survives corpus scale: a
+    # shuffled-hash build side holding a partition's gram ARRAYS cannot
+    # spill and was observed to OOM at 2M surfaces on the link path
+    # ("Can't acquire ... to build hash relation"), while SMJ sorts on
+    # the long id cheaply and spills gracefully; at sf0.1 the two
+    # measured within noise (0.77-0.93s vs 0.83-1.08s).
+    a = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("ga")).hint("merge")
+    b = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("gb")).hint("merge")
     inter = F.size(F.array_intersect("ga", "gb"))
     return (
         cands.join(a, "id_a").join(b, "id_b")

@@ -106,34 +106,63 @@ def candidate_pairs_lsh(
     max_bucket drops structurally hot band buckets (popular boundary
     grams winning both mins) before pair enumeration — stop-bucket
     removal; see functions.minhash.band_collision_pairs for the
-    measured straggler it prevents and the recall argument."""
+    measured straggler it prevents and the recall argument.
+
+    Internals are keyed on xxhash64(surface) longs (round 6, same id
+    convention as linked_pairs_exact/connected_components): the banding
+    table is |surfaces| × b rows and the collision join + pair dedup
+    shuffle it — carrying ~25-char surface strings through that
+    exchange roughly doubled its bytes vs (long, int, long) rows.
+    Surface strings re-attach after the jaccard filter; the canonical
+    surface_a < surface_b STRING orientation is restored via
+    least/greatest (jaccard is symmetric), so the output contract is
+    unchanged."""
     if num_hash_tables is None:
         num_hash_tables = bands_for_recall(
             1.0 - jaccard_max_dist, target_miss, rows_per_band
         )
+    keyed = surfaces.select(
+        F.xxhash64("surface").alias("sid"), "surface", "grams"
+    )
     bands = minhash_bands(
-        surfaces.select(F.col("surface").alias("id"), "grams"),
+        keyed.select(F.col("sid").alias("id"), "grams"),
         "id", "grams", num_hash_tables, rows_per_band=rows_per_band,
     )
     cands = band_collision_pairs(
         bands, max_bucket=max_bucket, num_partitions=num_partitions
-    ).select(
-        F.col("id_a").alias("surface_a"), F.col("id_b").alias("surface_b")
     )
-    # SHUFFLE_HASH: same rationale as minhash_lsh_pairs' rescore — the
-    # wide gram-array sides must not be driver-broadcast (serial build,
-    # and impossible at the >10^6-surface scale this path serves)
-    ga = surfaces.select(F.col("surface").alias("surface_a"),
-                         F.col("grams").alias("ga")).hint("shuffle_hash")
-    gb = surfaces.select(F.col("surface").alias("surface_b"),
-                         F.col("grams").alias("gb")).hint("shuffle_hash")
+    # MERGE hint: same rationale as minhash_lsh_pairs' rescore — the
+    # wide gram-array sides must not be driver-broadcast (serial
+    # build, impossible at the >10^6-surface scale this path serves)
+    # NOR shuffled-hash (a build side holding a partition's gram
+    # arrays cannot spill: observed "Can't acquire ... to build hash
+    # relation" OOM at 2M surfaces); sort-merge on the long ids spills
+    # gracefully and measured within noise of SHJ at bench scale. The
+    # rescore sides carry ONLY (sid, grams) — the surface strings
+    # re-attach to the post-filter pair set (dup-scale, not
+    # candidate-scale) in the final mapping joins below.
+    ga = keyed.select(F.col("sid").alias("id_a"),
+                      F.col("grams").alias("ga")).hint("merge")
+    gb = keyed.select(F.col("sid").alias("id_b"),
+                      F.col("grams").alias("gb")).hint("merge")
     inter = F.size(F.array_intersect("ga", "gb"))
-    return (
-        cands.join(ga, "surface_a")
-        .join(gb, "surface_b")
+    scored = (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
         .withColumn("jaccard", inter / (F.size("ga") + F.size("gb") - inter))
         .filter(F.col("jaccard") >= 1.0 - jaccard_max_dist)
-        .select("surface_a", "surface_b", "jaccard")
+        .select("id_a", "id_b", "jaccard")
+    )
+    sa = keyed.select(F.col("sid").alias("id_a"), F.col("surface").alias("surf_a"))
+    sb = keyed.select(F.col("sid").alias("id_b"), F.col("surface").alias("surf_b"))
+    return (
+        scored.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("surf_a", "surf_b").alias("surface_a"),
+            F.greatest("surf_a", "surf_b").alias("surface_b"),
+            "jaccard",
+        )
     )
 
 
@@ -211,36 +240,53 @@ def linked_pairs_exact(
 def tfidf_cosine(pairs: DataFrame, surfaces: DataFrame, n_docs: int | None = None) -> DataFrame:
     """Exact TF-IDF cosine over candidate pairs via explode-join.
 
-    terms(surface, gram, w): w = idf(gram) = ln((N+1)/(df+1)) + 1;
+    terms(sid, gram, w): w = idf(gram) = ln((N+1)/(df+1)) + 1;
     cosine(a,b) = Σ wa·wb / (‖a‖·‖b‖). Pure SQL — scales as a hash
     join on gram, with AQE skew splitting for stop-grams.
-    """
+
+    Internals keyed on xxhash64(surface) longs (round 6, same
+    convention as linked_pairs_exact/candidate_pairs_lsh): the
+    dot-product stream is |pairs| × |shared grams| rows and its
+    aggregation previously hashed/exchanged two surface strings per
+    row. The pair ids are computed directly from the strings (a pure
+    hash, no mapping join on the input side); strings re-attach to the
+    dup-scale output via the vocab-sized surface map."""
     if n_docs is None:
         n_docs = surfaces.count()
-    terms = surfaces.select("surface", F.explode("grams").alias("gram"))
-    df_ = terms.groupBy("gram").agg(F.countDistinct("surface").alias("df"))
+    sid = F.xxhash64("surface").alias("sid")
+    terms = surfaces.select(sid, F.explode("grams").alias("gram"))
+    df_ = terms.groupBy("gram").agg(F.countDistinct("sid").alias("df"))
     weighted = (
         terms.join(F.broadcast(df_), "gram")
         .withColumn("w", F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1.0)) + 1.0)
     )
-    norms = weighted.groupBy("surface").agg(
+    norms = weighted.groupBy("sid").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
-    wa = weighted.select(F.col("surface").alias("surface_a"), "gram",
-                         F.col("w").alias("wa"))
-    wb = weighted.select(F.col("surface").alias("surface_b"), "gram",
-                         F.col("w").alias("wb"))
+    ids = pairs.select(
+        F.xxhash64("surface_a").alias("id_a"),
+        F.xxhash64("surface_b").alias("id_b"),
+        "jaccard",
+    )
+    wa = weighted.select(F.col("sid").alias("id_a"), "gram", F.col("w").alias("wa"))
+    wb = weighted.select(F.col("sid").alias("id_b"), "gram", F.col("w").alias("wb"))
     dots = (
-        pairs.join(wa, "surface_a")
-        .join(wb, ["surface_b", "gram"])
-        .groupBy("surface_a", "surface_b", "jaccard")
+        ids.join(wa, "id_a")
+        .join(wb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b", "jaccard")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
-    na = norms.select(F.col("surface").alias("surface_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("surface").alias("surface_b"), F.col("nrm").alias("nb"))
+    na = norms.select(F.col("sid").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("sid").alias("id_b"), F.col("nrm").alias("nb"))
+    smap_a = surfaces.select(F.xxhash64("surface").alias("id_a"),
+                             F.col("surface").alias("surface_a"))
+    smap_b = surfaces.select(F.xxhash64("surface").alias("id_b"),
+                             F.col("surface").alias("surface_b"))
     return (
-        dots.join(na, "surface_a")
-        .join(nb, "surface_b")
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .join(smap_a, "id_a")
+        .join(smap_b, "id_b")
         .select(
             "surface_a", "surface_b", "jaccard",
             (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
